@@ -1,0 +1,48 @@
+"""Runtime render configuration.
+
+Collapses the reference's compile-time ``#define`` feature flags
+(apps/src/pathtrace.cu:36-42, apps/src/interactions.h:5) into one dataclass.
+Each option is static with respect to ``jax.jit`` — flipping one retraces the
+render function, mirroring the reference's recompile-on-flag-change model
+without the rebuild.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Feature flags for one render pipeline instance.
+
+    Defaults match the reference build (pathtrace.cu:36-42):
+    DEPTH_OF_FIELD 0, CACHE_FIRST_BOUNCE 1, SORT_BY_MATERIAL 1,
+    ANTIALIASING 1, BOUNDING_BOX 0, AI_DENOISE 1, JITTERED_SAMPLING 0.
+    """
+
+    depth_of_field: bool = False
+    cache_first_bounce: bool = True
+    sort_by_material: bool = True
+    antialiasing: bool = True
+    bounding_box: bool = False
+    ai_denoise: bool = True
+    jittered_sampling: bool = False
+
+    # Thin-lens parameters (pathtrace.cu:279-280).
+    lens_radius: float = 0.8
+    focal_distance: float = 11.0
+
+    # TPU-specific knobs (no reference equivalent).
+    # Faces are streamed through the intersector in chunks of this size to
+    # bound the [rays, faces] intermediate in VMEM/HBM.
+    face_chunk: int = 64
+    # Compute dtype for the trace core. float32 is the reference-parity
+    # default; bfloat16 halves HBM traffic at a small quality cost.
+    dtype: str = "float32"
+
+    @property
+    def first_bounce_cache_active(self) -> bool:
+        """First-bounce cache is compiled out when AA or DoF perturbs primary
+        rays (pathtrace.cu:586,608)."""
+        return self.cache_first_bounce and not self.antialiasing and not self.depth_of_field

@@ -1,0 +1,263 @@
+"""Static-shape SoA device representation of a scene.
+
+The reference patches raw device pointers into host-built ``Geom`` PODs and
+memcpys the array (apps/src/pathtrace.cu:140-172). The TPU design replaces
+pointer-chasing with indices into flat SoA buffers:
+
+- geoms          -> parallel arrays [G, ...] (type, material, transforms, AABB,
+                    texture-slot ids)
+- per-geom faces -> ONE world-space triangle buffer [F, ...] (v0/e1/e2/uv/geom),
+                    padded with degenerate triangles to a chunk multiple
+- byte textures  -> ONE pre-decoded float32 atlas [P, 3] + a meta table
+                    (offset, width, height, channels); slot 0 is the null
+                    texture so ``channels == 0`` keeps the reference's
+                    "texture absent" test (interactions.h:172,207,229)
+- materials      -> parallel arrays [M, ...]
+
+Faces are stored in WORLD space (vertices pre-transformed at load). This is
+equivalent to the reference's per-ray local-space test (intersections.h:207-242)
+but avoids a per-geom ray transform each bounce, and makes the returned ``t`` a
+true world-space distance. (The reference returns the *local*-space distance
+for meshes — a bug when geom scale != 1; we deliberately fix it and note the
+deviation here.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .structs import Camera, GeomType, Scene
+
+
+class CameraParams(NamedTuple):
+    """Dynamic camera state for raygen (sceneStructs.h:84-93)."""
+
+    position: jnp.ndarray  # [3]
+    view: jnp.ndarray  # [3]
+    up: jnp.ndarray  # [3]
+    right: jnp.ndarray  # [3]
+    pixel_length: jnp.ndarray  # [2]
+
+
+class DeviceScene(NamedTuple):
+    """All dynamic (traced) scene arrays. A pure pytree of jnp arrays."""
+
+    # Geoms [G]
+    geom_type: jnp.ndarray  # i32[G]
+    geom_material: jnp.ndarray  # i32[G]
+    transform: jnp.ndarray  # f32[G,4,4]
+    inverse_transform: jnp.ndarray  # f32[G,4,4]
+    inv_transpose: jnp.ndarray  # f32[G,4,4]
+    aabb_min: jnp.ndarray  # f32[G,3]
+    aabb_max: jnp.ndarray  # f32[G,3]
+    geom_kd: jnp.ndarray  # i32[G] texture slot (0 = none)
+    geom_ks: jnp.ndarray  # i32[G]
+    geom_ke: jnp.ndarray  # i32[G]
+    geom_bump: jnp.ndarray  # i32[G]
+
+    # World-space triangles [F]
+    face_v0: jnp.ndarray  # f32[F,3]
+    face_e1: jnp.ndarray  # f32[F,3]  v1 - v0
+    face_e2: jnp.ndarray  # f32[F,3]  v2 - v0
+    face_uv0: jnp.ndarray  # f32[F,2]
+    face_uv1: jnp.ndarray  # f32[F,2]
+    face_uv2: jnp.ndarray  # f32[F,2]
+    face_geom: jnp.ndarray  # i32[F] owning geom (pad faces point at geom 0)
+
+    # Materials [M]
+    mat_color: jnp.ndarray  # f32[M,3]
+    mat_spec_color: jnp.ndarray  # f32[M,3]
+    mat_spec_ex: jnp.ndarray  # f32[M]
+    mat_refl: jnp.ndarray  # f32[M]
+    mat_refr: jnp.ndarray  # f32[M]
+    mat_ior: jnp.ndarray  # f32[M]
+    mat_emittance: jnp.ndarray  # f32[M]
+
+    # Texture atlas
+    tex_atlas: jnp.ndarray  # f32[P,3] (values already /255)
+    tex_meta: jnp.ndarray  # i32[T,4] (offset, width, height, channels)
+
+    camera: CameraParams
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static (non-traced) scene facts; changing any retriggers jit tracing."""
+
+    resolution: tuple[int, int]  # (x, y)
+    trace_depth: int
+    iterations: int
+    image_name: str
+    num_geoms: int
+    num_faces: int  # real (unpadded) face count
+    has_obj: bool
+    # Per-geom [start, count) into the face buffer, for geoms of type OBJ.
+    face_ranges: tuple[tuple[int, int], ...]
+
+
+def _pad_to(n: int, multiple: int) -> int:
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+def camera_params(cam: Camera) -> CameraParams:
+    return CameraParams(
+        position=jnp.asarray(cam.position, jnp.float32),
+        view=jnp.asarray(cam.view, jnp.float32),
+        up=jnp.asarray(cam.up, jnp.float32),
+        right=jnp.asarray(cam.right, jnp.float32),
+        pixel_length=jnp.asarray(cam.pixel_length, jnp.float32),
+    )
+
+
+def build_device_scene(
+    scene: Scene, face_chunk: int = 64
+) -> tuple[DeviceScene, SceneMeta]:
+    """Flatten a parsed host Scene into (DeviceScene, SceneMeta)."""
+    geoms = scene.geoms
+    G = len(geoms)
+    if G == 0:
+        raise ValueError("scene has no geometry")
+
+    geom_type = np.array([int(g.type) for g in geoms], np.int32)
+    geom_material = np.array([g.materialid for g in geoms], np.int32)
+    transform = np.stack([g.transform for g in geoms]).astype(np.float32)
+    inverse_transform = np.stack([g.inverse_transform for g in geoms]).astype(np.float32)
+    inv_transpose = np.stack([g.inv_transpose for g in geoms]).astype(np.float32)
+
+    # --- Textures -> atlas -------------------------------------------------
+    atlas_chunks: list[np.ndarray] = [np.zeros((1, 3), np.float32)]  # null texel
+    tex_meta: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)]  # slot 0 = none
+    offset = 1
+
+    def add_texture(tex) -> int:
+        nonlocal offset
+        if not tex.present:
+            return 0
+        img = tex.image
+        if img.shape[-1] < 3:
+            img = np.repeat(img[..., :1], 3, axis=-1)
+        flat = (img[..., :3].reshape(-1, 3).astype(np.float32)) / 255.0
+        atlas_chunks.append(flat)
+        tex_meta.append((offset, tex.width, tex.height, tex.channels))
+        offset += flat.shape[0]
+        return len(tex_meta) - 1
+
+    geom_kd = np.array([add_texture(g.kd) for g in geoms], np.int32)
+    geom_ks = np.array([add_texture(g.ks) for g in geoms], np.int32)
+    geom_ke = np.array([add_texture(g.ke) for g in geoms], np.int32)
+    geom_bump = np.array([add_texture(g.bump) for g in geoms], np.int32)
+    tex_atlas = np.concatenate(atlas_chunks, axis=0)
+    tex_meta_arr = np.asarray(tex_meta, np.int32)
+
+    # --- Faces -> world-space triangle soup --------------------------------
+    v0s, e1s, e2s, uv0s, uv1s, uv2s, fgeom = [], [], [], [], [], [], []
+    face_ranges: list[tuple[int, int]] = []
+    aabb_min = np.zeros((G, 3), np.float32)
+    aabb_max = np.zeros((G, 3), np.float32)
+    cursor = 0
+    for gi, (g, faces) in enumerate(zip(geoms, scene.all_faces)):
+        start = cursor
+        if faces:
+            local = np.stack([f.positions for f in faces])  # [f,3,3]
+            uvs = np.stack([f.uvs for f in faces])  # [f,3,2]
+            hom = np.concatenate(
+                [local, np.ones((*local.shape[:2], 1), np.float32)], axis=-1
+            )  # [f,3,4]
+            world = np.einsum("ij,fvj->fvi", g.transform.astype(np.float64), hom)[
+                ..., :3
+            ].astype(np.float32)
+            v0s.append(world[:, 0])
+            e1s.append(world[:, 1] - world[:, 0])
+            e2s.append(world[:, 2] - world[:, 0])
+            uv0s.append(uvs[:, 0])
+            uv1s.append(uvs[:, 1])
+            uv2s.append(uvs[:, 2])
+            fgeom.append(np.full(len(faces), gi, np.int32))
+            cursor += len(faces)
+            aabb_min[gi] = world.reshape(-1, 3).min(axis=0)
+            aabb_max[gi] = world.reshape(-1, 3).max(axis=0)
+        face_ranges.append((start, cursor - start))
+
+    num_faces = cursor
+    F = _pad_to(max(num_faces, 1), face_chunk)
+    face_v0 = np.zeros((F, 3), np.float32)
+    face_e1 = np.zeros((F, 3), np.float32)
+    face_e2 = np.zeros((F, 3), np.float32)
+    face_uv0 = np.zeros((F, 2), np.float32)
+    face_uv1 = np.zeros((F, 2), np.float32)
+    face_uv2 = np.zeros((F, 2), np.float32)
+    face_geom = np.zeros(F, np.int32)
+    if num_faces:
+        face_v0[:num_faces] = np.concatenate(v0s)
+        face_e1[:num_faces] = np.concatenate(e1s)
+        face_e2[:num_faces] = np.concatenate(e2s)
+        face_uv0[:num_faces] = np.concatenate(uv0s)
+        face_uv1[:num_faces] = np.concatenate(uv1s)
+        face_uv2[:num_faces] = np.concatenate(uv2s)
+        face_geom[:num_faces] = np.concatenate(fgeom)
+
+    # --- Materials ----------------------------------------------------------
+    mats = scene.materials
+    M = max(len(mats), 1)
+    mat_color = np.zeros((M, 3), np.float32)
+    mat_spec_color = np.zeros((M, 3), np.float32)
+    mat_spec_ex = np.zeros(M, np.float32)
+    mat_refl = np.zeros(M, np.float32)
+    mat_refr = np.zeros(M, np.float32)
+    mat_ior = np.zeros(M, np.float32)
+    mat_emittance = np.zeros(M, np.float32)
+    for i, m in enumerate(mats):
+        mat_color[i] = m.color
+        mat_spec_color[i] = m.specular_color
+        mat_spec_ex[i] = m.specular_exponent
+        mat_refl[i] = m.has_reflective
+        mat_refr[i] = m.has_refractive
+        mat_ior[i] = m.index_of_refraction
+        mat_emittance[i] = m.emittance
+
+    dev = DeviceScene(
+        geom_type=jnp.asarray(geom_type),
+        geom_material=jnp.asarray(geom_material),
+        transform=jnp.asarray(transform),
+        inverse_transform=jnp.asarray(inverse_transform),
+        inv_transpose=jnp.asarray(inv_transpose),
+        aabb_min=jnp.asarray(aabb_min),
+        aabb_max=jnp.asarray(aabb_max),
+        geom_kd=jnp.asarray(geom_kd),
+        geom_ks=jnp.asarray(geom_ks),
+        geom_ke=jnp.asarray(geom_ke),
+        geom_bump=jnp.asarray(geom_bump),
+        face_v0=jnp.asarray(face_v0),
+        face_e1=jnp.asarray(face_e1),
+        face_e2=jnp.asarray(face_e2),
+        face_uv0=jnp.asarray(face_uv0),
+        face_uv1=jnp.asarray(face_uv1),
+        face_uv2=jnp.asarray(face_uv2),
+        face_geom=jnp.asarray(face_geom),
+        mat_color=jnp.asarray(mat_color),
+        mat_spec_color=jnp.asarray(mat_spec_color),
+        mat_spec_ex=jnp.asarray(mat_spec_ex),
+        mat_refl=jnp.asarray(mat_refl),
+        mat_refr=jnp.asarray(mat_refr),
+        mat_ior=jnp.asarray(mat_ior),
+        mat_emittance=jnp.asarray(mat_emittance),
+        tex_atlas=jnp.asarray(tex_atlas),
+        tex_meta=jnp.asarray(tex_meta_arr),
+        camera=camera_params(scene.state.camera),
+    )
+    meta = SceneMeta(
+        resolution=tuple(scene.state.camera.resolution),
+        trace_depth=scene.state.trace_depth,
+        iterations=scene.state.iterations,
+        image_name=scene.state.image_name,
+        num_geoms=G,
+        num_faces=num_faces,
+        has_obj=any(g.type == GeomType.OBJ for g in geoms),
+        face_ranges=tuple(face_ranges),
+    )
+    return dev, meta

@@ -1,0 +1,227 @@
+"""Wavefront OBJ + MTL ingestion.
+
+From-scratch replacement for the reference's tinyobj path
+(apps/src/scene.cpp:38-234 / tiny_obj_loader.h): parses v/vt/vn/f records,
+fan-triangulates polygons, computes the per-geom AABB, loads the *first*
+material of the .mtl (the reference assumes one material per model,
+scene.cpp:68,134) with its kd/ks/ke/bump texture maps, and synthesizes a
+scene Material from it (scene.cpp:220-232).
+
+Deviation from the reference (documented): scene.cpp:60-65 initializes
+``maxX``/``minZ``/``maxZ`` with the wrong FLT_MAX/FLT_MIN sentinels, producing
+a broken AABB (harmless there because BOUNDING_BOX is compiled out). We
+compute the correct AABB since the TPU build uses it for the mesh pre-test.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from .structs import Face, Material, Texture
+from ..utils.png import load_texture
+
+
+@dataclasses.dataclass
+class MtlMaterial:
+    name: str = ""
+    diffuse: tuple = (0.0, 0.0, 0.0)  # Kd
+    specular: tuple = (0.0, 0.0, 0.0)  # Ks
+    emission: tuple = (0.0, 0.0, 0.0)  # Ke
+    ior: float = 1.0  # Ni
+    shininess: float = 1.0  # Ns
+    diffuse_texname: str = ""
+    specular_texname: str = ""
+    emissive_texname: str = ""
+    bump_texname: str = ""
+
+
+def parse_mtl(path: str) -> list[MtlMaterial]:
+    mats: list[MtlMaterial] = []
+    cur: MtlMaterial | None = None
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tokens = line.split()
+            if not tokens or tokens[0].startswith("#"):
+                continue
+            key = tokens[0]
+            if key == "newmtl":
+                cur = MtlMaterial(name=" ".join(tokens[1:]))
+                mats.append(cur)
+            elif cur is None:
+                continue
+            elif key == "Kd":
+                cur.diffuse = tuple(float(x) for x in tokens[1:4])
+            elif key == "Ks":
+                cur.specular = tuple(float(x) for x in tokens[1:4])
+            elif key == "Ke":
+                cur.emission = tuple(float(x) for x in tokens[1:4])
+            elif key == "Ni":
+                cur.ior = float(tokens[1])
+            elif key == "Ns":
+                cur.shininess = float(tokens[1])
+            elif key == "map_Kd":
+                cur.diffuse_texname = tokens[-1]
+            elif key == "map_Ks":
+                cur.specular_texname = tokens[-1]
+            elif key == "map_Ke":
+                cur.emissive_texname = tokens[-1]
+            elif key in ("map_bump", "map_Bump", "bump"):
+                cur.bump_texname = tokens[-1]
+    return mats
+
+
+def _resolve_index(idx: int, count: int) -> int:
+    """OBJ indices are 1-based; negative indices count from the end."""
+    return idx - 1 if idx > 0 else count + idx
+
+
+def _parse_face_vertex(token: str):
+    """Parse 'v', 'v/vt', 'v//vn', or 'v/vt/vn' into (v, vt, vn) 1-based or None."""
+    parts = token.split("/")
+    v = int(parts[0])
+    vt = int(parts[1]) if len(parts) > 1 and parts[1] else None
+    vn = int(parts[2]) if len(parts) > 2 and parts[2] else None
+    return v, vt, vn
+
+
+@dataclasses.dataclass
+class ObjModel:
+    faces: list[Face]
+    min_pos: np.ndarray
+    max_pos: np.ndarray
+    material: MtlMaterial
+    kd: Texture
+    ks: Texture
+    ke: Texture
+    bump: Texture
+
+
+def _load_tex(name: str, search_dirs: list[str]) -> Texture:
+    """Load a texture map by name, searching like tinyobj's mtl dir logic
+    plus the path as given (scene.cpp:138-218). Missing map → empty Texture,
+    matching the reference's failed-load path (scene.cpp:150-154)."""
+    if not name:
+        return Texture()
+    candidates = [name] + [os.path.join(d, os.path.basename(name)) for d in search_dirs]
+    candidates += [os.path.join(d, name) for d in search_dirs]
+    for cand in candidates:
+        if os.path.isfile(cand):
+            arr = load_texture(cand, flip_vertical=True)
+            return Texture(
+                width=arr.shape[1], height=arr.shape[0], channels=arr.shape[2], image=arr
+            )
+    return Texture()
+
+
+def load_obj(path: str, mtl_search_path: str | None = None) -> ObjModel:
+    """Parse an OBJ file into triangles + first-material textures.
+
+    ``mtl_search_path`` mirrors reader_config.mtl_search_path
+    ('../models/materials', scene.cpp:41); we additionally search next to the
+    OBJ itself and in a sibling ``textures/`` directory so reference assets
+    resolve from any CWD.
+    """
+    positions: list[tuple] = []
+    normals: list[tuple] = []
+    texcoords: list[tuple] = []
+    face_tuples: list[list[tuple]] = []
+    mtl_files: list[str] = []
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tokens = line.split()
+            if not tokens or tokens[0].startswith("#"):
+                continue
+            key = tokens[0]
+            if key == "v":
+                positions.append(tuple(float(x) for x in tokens[1:4]))
+            elif key == "vn":
+                normals.append(tuple(float(x) for x in tokens[1:4]))
+            elif key == "vt":
+                texcoords.append(tuple(float(x) for x in tokens[1:3]))
+            elif key == "mtllib":
+                mtl_files.append(" ".join(tokens[1:]))
+            elif key == "f":
+                verts = [_parse_face_vertex(t) for t in tokens[1:]]
+                # Fan triangulation, like tinyobj's triangulate=true default.
+                for i in range(1, len(verts) - 1):
+                    face_tuples.append([verts[0], verts[i], verts[i + 1]])
+
+    obj_dir = os.path.dirname(os.path.abspath(path))
+    search_dirs = [obj_dir]
+    if mtl_search_path:
+        search_dirs.append(mtl_search_path)
+    search_dirs += [
+        os.path.join(obj_dir, "materials"),
+        os.path.join(obj_dir, os.pardir, "textures"),
+        os.path.join(obj_dir, os.pardir, "models", "materials"),
+    ]
+
+    material = MtlMaterial()
+    for mtl_name in mtl_files:
+        for d in search_dirs:
+            cand = os.path.join(d, os.path.basename(mtl_name))
+            if os.path.isfile(cand):
+                mats = parse_mtl(cand)
+                if mats:
+                    # Reference uses objMaterials[0] only (scene.cpp:68,134).
+                    material = mats[0]
+                break
+        else:
+            continue
+        break
+
+    faces: list[Face] = []
+    mn = np.full(3, np.inf)
+    mx = np.full(3, -np.inf)
+    np_pos = np.asarray(positions, dtype=np.float32).reshape(-1, 3)
+    np_nrm = np.asarray(normals, dtype=np.float32).reshape(-1, 3)
+    np_uv = np.asarray(texcoords, dtype=np.float32).reshape(-1, 2)
+    for tri in face_tuples:
+        p = np.zeros((3, 3), np.float32)
+        n = np.zeros((3, 3), np.float32)
+        uv = np.zeros((3, 2), np.float32)
+        for k, (vi, vti, vni) in enumerate(tri):
+            p[k] = np_pos[_resolve_index(vi, len(np_pos))]
+            if vti is not None and len(np_uv):
+                uv[k] = np_uv[_resolve_index(vti, len(np_uv))]
+            if vni is not None and len(np_nrm):
+                n[k] = np_nrm[_resolve_index(vni, len(np_nrm))]
+        faces.append(Face(positions=p, uvs=uv, normals=n))
+        mn = np.minimum(mn, p.min(axis=0))
+        mx = np.maximum(mx, p.max(axis=0))
+
+    if not faces:
+        mn = np.zeros(3)
+        mx = np.zeros(3)
+
+    tex_dirs = search_dirs
+    return ObjModel(
+        faces=faces,
+        min_pos=mn.astype(np.float32),
+        max_pos=mx.astype(np.float32),
+        material=material,
+        kd=_load_tex(material.diffuse_texname, tex_dirs),
+        ks=_load_tex(material.specular_texname, tex_dirs),
+        ke=_load_tex(material.emissive_texname, tex_dirs),
+        bump=_load_tex(material.bump_texname, tex_dirs),
+    )
+
+
+def synthesize_material(m: MtlMaterial) -> Material:
+    """scene.cpp:220-232: one scene Material synthesized per OBJ model.
+
+    specular.exponent is forced to 0 and reflect/refract flags to 0; emittance
+    comes from Ke's red channel only — all reference quirks kept."""
+    return Material(
+        color=np.asarray(m.diffuse, np.float32),
+        specular_exponent=0.0,
+        specular_color=np.asarray(m.specular, np.float32),
+        has_reflective=0.0,
+        has_refractive=0.0,
+        index_of_refraction=m.ior,
+        emittance=float(m.emission[0]),
+    )
