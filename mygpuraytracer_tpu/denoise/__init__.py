@@ -1,0 +1,3 @@
+from .tza import read_tza, write_tza
+from .filter import Device, Filter, RTFilter, RTLightmapFilter, OidnError
+from .unet import unet_apply, init_unet_params, UNET_ALIGNMENT

@@ -1,0 +1,510 @@
+"""OIDN-style Device/Filter API around the JAX U-Net.
+
+Mirrors the public semantics of the reference denoiser library
+(include/OpenImageDenoise/oidn.hpp, core/device.cpp, core/filter.cpp,
+core/unet.cpp): a Device owns filters and error state; a Filter takes named
+images + params, ``commit()`` (re)builds the network only when dirty, and
+``execute()`` denoises with optional overlapped spatial tiling, progress
+monitoring and cooperative cancellation.
+
+TPU re-architecture: the oneDNN graph, blocked layouts, scratch arena and
+ISPC reorders all collapse into one jitted NHWC function (pack -> U-Net ->
+unpack). Tiling with the reference's 96 px overlap (unet.h:23,38) remains for
+HBM-constrained images and exercises the same maxMemoryMB/progress surface.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import color as color_mod
+from . import weights as weights_mod
+from .unet import (
+    UNET_ALIGNMENT,
+    UNET_RECEPTIVE_FIELD,
+    params_in_channels,
+    round_up,
+    unet_apply,
+)
+
+
+class OidnError(RuntimeError):
+    """Error with an OIDN-style code (oidn.h Error enum)."""
+
+    def __init__(self, code: str, message: str):
+        super().__init__(message)
+        self.code = code  # 'unknown'|'invalid_argument'|'invalid_operation'|
+        #                   'out_of_memory'|'unsupported_hardware'|'cancelled'
+
+    NONE = "none"
+    INVALID_ARGUMENT = "invalid_argument"
+    INVALID_OPERATION = "invalid_operation"
+    CANCELLED = "cancelled"
+
+
+MAX_IMAGE_DIM = 65536  # core/image.h max
+DEFAULT_MAX_MEMORY_MB = 3000  # unet.h:38
+OVERLAP = round_up(UNET_RECEPTIVE_FIELD // 2, UNET_ALIGNMENT)  # = 96 (unet.h:23)
+
+# Rough f32 activation footprint of the U-Net per input pixel, used for the
+# maxMemoryMB -> tile size computation (the reference sums exact tensor sizes,
+# unet.cpp:199-239; a per-pixel estimate gives the same control surface).
+_BYTES_PER_PIXEL = 4 * (9 + 32 + 32 + 32 + (48 + 48 + 64 + 64 + 80 + 96 * 2) // 4 + 112 + 96 + 64 + 64 + 32 + 3 + 64)
+
+
+class Device:
+    """oidnNewDevice + commit + error state (core/device.cpp)."""
+
+    def __init__(self, device_type: str = "default"):
+        self.device_type = device_type
+        self.committed = False
+        self.error: tuple[str, str] | None = None
+        self.error_fn: Callable[[str, str], None] | None = None
+        # Accepted-for-parity host knobs (no-ops on TPU: XLA owns threading).
+        self.params = {"numThreads": 0, "setAffinity": True, "verbose": 0}
+
+    def set(self, name: str, value) -> None:
+        if name in self.params:
+            self.params[name] = value
+        else:
+            self._warn(f"unknown device parameter '{name}'")
+
+    def get(self, name: str):
+        if name in self.params:
+            return self.params[name]
+        if name == "version":
+            return 10402  # OIDN v1.4.2 parity surface
+        raise OidnError(OidnError.INVALID_ARGUMENT, f"unknown device parameter '{name}'")
+
+    def set_error_function(self, fn) -> None:
+        self.error_fn = fn
+
+    def commit(self) -> None:
+        self.committed = True
+
+    def get_error(self) -> tuple[str, str]:
+        err = self.error or (OidnError.NONE, "")
+        self.error = None
+        return err
+
+    def _record_error(self, e: OidnError) -> None:
+        self.error = (e.code, str(e))
+        if self.error_fn is not None:
+            self.error_fn(e.code, str(e))
+
+    def _warn(self, msg: str) -> None:
+        if self.params.get("verbose", 0) > 0:
+            print(f"warning: {msg}")
+
+    def new_filter(self, kind: str) -> "Filter":
+        if not self.committed:
+            raise OidnError(OidnError.INVALID_OPERATION, "device not committed")
+        if kind == "RT":
+            return RTFilter(self)
+        if kind == "RTLightmap":
+            return RTLightmapFilter(self)
+        raise OidnError(OidnError.INVALID_ARGUMENT, f"unknown filter type '{kind}'")
+
+
+def _check_image(name: str, img: np.ndarray | None):
+    if img is None:
+        return
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise OidnError(OidnError.INVALID_ARGUMENT, f"image '{name}' must be HxWx3")
+    if img.shape[0] > MAX_IMAGE_DIM or img.shape[1] > MAX_IMAGE_DIM:
+        raise OidnError(OidnError.INVALID_ARGUMENT, "image size too large")
+
+
+class Filter:
+    """Base UNetFilter behavior (core/filter.cpp + core/unet.cpp)."""
+
+    # subclass config
+    _image_slots = ("color", "albedo", "normal", "output")
+    _default_transfer = "srgb"
+
+    def __init__(self, device: Device):
+        self.device = device
+        self.images: dict[str, np.ndarray | None] = {s: None for s in self._image_slots}
+        self.params: dict[str, object] = {
+            "hdr": False,
+            "srgb": False,
+            "directional": False,
+            "cleanAux": False,
+            "maxMemoryMB": DEFAULT_MAX_MEMORY_MB,
+            "inputScale": math.nan,
+        }
+        self.progress_fn: Callable[[float], bool] | None = None
+        self.dirty = True
+        self._committed = False
+        self._params_weights = None
+        self._weights_name = None
+        self.using_random_weights = False
+        self._user_weights_blob: bytes | None = None
+        self._jitted = {}
+
+    # -- parameter surface (oidn.hpp FilterRef) -------------------------------
+    def set_image(self, name: str, image: np.ndarray | None, width=None, height=None):
+        if name not in self._image_slots:
+            self.device._warn(f"unknown filter image '{name}'")
+            return
+        if image is not None:
+            image = np.asarray(image)
+            _check_image(name, image)
+        self.images[name] = image
+        self.dirty = True
+
+    def remove_image(self, name: str):
+        if name in self._image_slots:
+            self.images[name] = None
+        self.dirty = True
+
+    def set(self, name: str, value):
+        if name in self.params:
+            self.params[name] = value
+            self.dirty = True
+        else:
+            self.device._warn(f"unknown filter parameter '{name}'")
+
+    def get(self, name: str):
+        if name == "alignment":
+            return UNET_ALIGNMENT
+        if name == "overlap":
+            return OVERLAP
+        if name in self.params:
+            return self.params[name]
+        raise OidnError(OidnError.INVALID_ARGUMENT, f"unknown filter parameter '{name}'")
+
+    def set_data(self, name: str, blob: bytes):
+        """setData("weights", tza_bytes) — user-provided weights override."""
+        if name == "weights":
+            self._user_weights_blob = bytes(blob)
+            self.dirty = True
+        else:
+            self.device._warn(f"unknown filter data '{name}'")
+
+    def set_progress_monitor_function(self, fn) -> None:
+        self.progress_fn = fn
+
+    # -- commit ---------------------------------------------------------------
+    def _features(self) -> tuple[bool, bool, bool]:
+        return (
+            self.images["color"] is not None,
+            self.images["albedo"] is not None,
+            self.images["normal"] is not None,
+        )
+
+    def _select_weights_name(self) -> str:
+        raise NotImplementedError
+
+    def _transfer_kind(self) -> str:
+        raise NotImplementedError
+
+    def _snorm(self) -> bool:
+        return False
+
+    def commit(self) -> None:
+        try:
+            self._commit_impl()
+        except OidnError as e:
+            self.device._record_error(e)
+            raise
+
+    def _commit_impl(self) -> None:
+        if not self.dirty and self._committed:
+            return  # only rebuild when params materially changed (filter.cpp:14-56)
+        output = self.images["output"]
+        if output is None:
+            raise OidnError(OidnError.INVALID_OPERATION, "output image not set")
+        h, w = output.shape[:2]
+        for name in ("color", "albedo", "normal"):
+            img = self.images[name]
+            if img is not None and img.shape[:2] != (h, w):
+                raise OidnError(OidnError.INVALID_OPERATION, "image size mismatch")
+        if self.params.get("directional") and (self.params["hdr"] or self.params["srgb"]):
+            raise OidnError(
+                OidnError.INVALID_OPERATION,
+                "directional and hdr/srgb modes cannot be enabled at the same time",
+            )
+        if self.params["hdr"] and self.params["srgb"]:
+            raise OidnError(
+                OidnError.INVALID_OPERATION,
+                "hdr and srgb modes cannot be enabled at the same time",
+            )
+
+        name = self._select_weights_name()
+        if self._user_weights_blob is not None:
+            params, random_w = weights_mod.load_params_from_blob(self._user_weights_blob)
+        else:
+            params, random_w = weights_mod.load_default_params(name)
+        self._params_weights = params
+        self._weights_name = name
+        self.using_random_weights = random_w
+
+        # validate channel count vs features
+        n_in = sum(3 for f in self._features() if f)
+        if n_in == 0:
+            raise OidnError(
+                OidnError.INVALID_OPERATION, "invalid combination of input features"
+            )
+        have = params_in_channels(self._params_weights)
+        if have != n_in:
+            raise OidnError(
+                OidnError.INVALID_OPERATION,
+                f"weights expect {have} input channels, features provide {n_in}",
+            )
+
+        self._plan_tiles(h, w)
+        self.dirty = False
+        self._committed = True
+
+    # -- tiling (unet.cpp:199-239) --------------------------------------------
+    def _plan_tiles(self, h: int, w: int) -> None:
+        max_mb = int(self.params["maxMemoryMB"])
+        Hp = round_up(h, UNET_ALIGNMENT)
+        Wp = round_up(w, UNET_ALIGNMENT)
+        budget_px = (max_mb * (1 << 20)) // _BYTES_PER_PIXEL if max_mb > 0 else 0
+        min_tile = 2 * OVERLAP + UNET_ALIGNMENT
+
+        tile_h, tile_w = Hp, Wp
+        if budget_px <= 0 or Hp * Wp > budget_px:
+            # Shrink tiles (keeping multiples of the alignment) until the
+            # padded tile fits the budget; maxMemoryMB=0 forces minimum tiles.
+            side = int(math.sqrt(budget_px)) if budget_px > 0 else min_tile
+            side = max(min_tile, (side // UNET_ALIGNMENT) * UNET_ALIGNMENT)
+            tile_h = min(Hp, side)
+            tile_w = min(Wp, side)
+        self.tile_shape = (tile_h, tile_w)
+
+    def _tile_grid(self, h: int, w: int):
+        """Output-tile origins. Core regions step by tile - 2*overlap."""
+        tile_h, tile_w = self.tile_shape
+        step_h = max(tile_h - 2 * OVERLAP, 1) if tile_h < round_up(h, UNET_ALIGNMENT) else tile_h
+        step_w = max(tile_w - 2 * OVERLAP, 1) if tile_w < round_up(w, UNET_ALIGNMENT) else tile_w
+        rows = list(range(0, h, step_h))
+        cols = list(range(0, w, step_w))
+        return rows, cols, step_h, step_w
+
+    # -- execute ---------------------------------------------------------------
+    def execute(self) -> None:
+        try:
+            self._execute_impl()
+        except OidnError as e:
+            self.device._record_error(e)
+            raise
+
+    def _progress(self, done: float) -> None:
+        if self.progress_fn is not None:
+            if not self.progress_fn(min(max(done, 0.0), 1.0)):
+                raise OidnError(OidnError.CANCELLED, "execution was cancelled")
+
+    def _execute_impl(self) -> None:
+        if self.dirty or not self._committed:
+            self._commit_impl()
+        output = self.images["output"]
+        h, w = output.shape[:2]
+        self._progress(0.0)
+        if h == 0 or w == 0:
+            self._progress(1.0)
+            return
+
+        # input scale: user inputScale, else autoexposure for HDR (unet.cpp:134-144)
+        scale = self.params["inputScale"]
+        if isinstance(scale, float) and math.isnan(scale):
+            if self.params["hdr"] and self.images["color"] is not None:
+                scale = float(color_mod.autoexposure(jnp.asarray(self.images["color"])))
+            else:
+                scale = 1.0
+        transfer = color_mod.make_transfer(self._transfer_kind(), float(scale))
+
+        rows, cols, step_h, step_w = self._tile_grid(h, w)
+        n_tiles = len(rows) * len(cols)
+        done = 0
+        for oh in rows:
+            for ow in cols:
+                self._run_tile(oh, ow, step_h, step_w, h, w, transfer, output)
+                done += 1
+                self._progress(done / n_tiles)
+        self._progress(1.0)
+
+    def _run_tile(self, oh, ow, step_h, step_w, h, w, transfer, output) -> None:
+        tile_h, tile_w = self.tile_shape
+        # Input window (with overlap), clamped to the image.
+        ih0 = max(oh - OVERLAP, 0)
+        iw0 = max(ow - OVERLAP, 0)
+        ih1 = min(ih0 + tile_h, h)
+        iw1 = min(iw0 + tile_w, w)
+        # Re-anchor so the window is as large as possible (border tiles).
+        ih0 = max(min(ih0, ih1 - tile_h), 0)
+        iw0 = max(min(iw0, iw1 - tile_w), 0)
+
+        planes = []
+        snorm = self._snorm()
+        hdr = bool(self.params["hdr"])
+        has_color = self.images["color"] is not None
+        for name in ("color", "albedo", "normal"):
+            img = self.images[name]
+            if img is None:
+                continue
+            window = np.zeros((tile_h, tile_w, 3), np.float32)
+            window[: ih1 - ih0, : iw1 - iw0] = img[ih0:ih1, iw0:iw1]
+            planes.append((name, window))
+
+        x = _pack_input(
+            tuple(name for name, _ in planes),
+            jnp.asarray(np.concatenate([wdw for _, wdw in planes], axis=-1)),
+            transfer,
+            hdr,
+            snorm,
+            has_color,
+        )
+        y = self._apply_network(x)
+        out_tile = _unpack_output(y, transfer, hdr, snorm)
+        out_np = np.asarray(out_tile)
+
+        # Valid output region of this tile: skip overlap except at borders.
+        vh0 = oh - ih0  # offset of output rows inside the tile
+        vw0 = ow - iw0
+        vh1 = min(vh0 + step_h, ih1 - ih0)
+        vw1 = min(vw0 + step_w, iw1 - iw0)
+        output[oh : oh + (vh1 - vh0), ow : ow + (vw1 - vw0)] = out_np[vh0:vh1, vw0:vw1]
+
+    def _apply_network(self, x: jnp.ndarray) -> jnp.ndarray:
+        th, tw = x.shape[0], x.shape[1]
+        hp, wp = round_up(max(th, 1), UNET_ALIGNMENT), round_up(max(tw, 1), UNET_ALIGNMENT)
+        xp = jnp.zeros((hp, wp, x.shape[2]), x.dtype).at[:th, :tw].set(x)
+        key = (hp, wp, x.shape[2])
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = jax.jit(lambda p, a: unet_apply(p, a[None])[0])
+            self._jitted[key] = fn
+        y = fn(self._params_weights, xp)
+        return y[:th, :tw]
+
+
+def _pack_input(names, stacked, transfer, hdr, snorm, has_color):
+    """Input packing + sanitize (core/input_reorder.ispc:28-151)."""
+    chans = []
+    idx = 0
+    for name in names:
+        v = stacked[..., idx : idx + 3]
+        idx += 3
+        if name == "color":
+            v = v * transfer.input_scale
+            v = color_mod.sanitize(v, -1.0 if snorm else 0.0, jnp.inf if hdr else 1.0)
+            if snorm:
+                v = v * 0.5 + 0.5
+            v = transfer.forward(v)
+        elif name == "albedo":
+            if not has_color:
+                v = v * transfer.input_scale
+            v = color_mod.sanitize(v, 0.0, 1.0)
+            if not has_color:
+                v = transfer.forward(v)
+        elif name == "normal":
+            if not has_color:
+                v = v * transfer.input_scale
+            v = color_mod.sanitize(v, -1.0, 1.0)
+            v = v * 0.5 + 0.5
+        chans.append(v)
+    return jnp.concatenate(chans, axis=-1)
+
+
+def _unpack_output(y, transfer, hdr, snorm):
+    """Output sanitize + inverse transfer (core/output_reorder.ispc:26-61)."""
+    v = color_mod.sanitize(y, 0.0, jnp.inf)
+    v = transfer.inverse(v)
+    if snorm:
+        v = jnp.maximum(v * 2.0 - 1.0, -1.0)
+    if not hdr:
+        v = jnp.minimum(v, 1.0)
+    return v * transfer.output_scale
+
+
+class RTFilter(Filter):
+    """The "RT" ray-tracing denoiser (core/unet.cpp:613-687)."""
+
+    def _select_weights_name(self) -> str:
+        color, albedo, normal = self._features()
+        hdr = bool(self.params["hdr"])
+        clean = bool(self.params["cleanAux"])
+        if color:
+            if not albedo and not normal:
+                return "rt_hdr" if hdr else "rt_ldr"
+            if albedo and not normal:
+                return "rt_hdr_alb" if hdr else "rt_ldr_alb"
+            if albedo and normal:
+                if clean:
+                    return "rt_hdr_calb_cnrm" if hdr else "rt_ldr_calb_cnrm"
+                return "rt_hdr_alb_nrm" if hdr else "rt_ldr_alb_nrm"
+            raise OidnError(
+                OidnError.INVALID_OPERATION, "invalid combination of input features"
+            )
+        if albedo and not normal:
+            if hdr:
+                raise OidnError(
+                    OidnError.INVALID_OPERATION,
+                    "hdr mode is not supported for albedo filtering",
+                )
+            return "rt_alb"
+        if normal and not albedo:
+            if hdr or self.params["srgb"]:
+                raise OidnError(
+                    OidnError.INVALID_OPERATION,
+                    "hdr and srgb modes are not supported for normal filtering",
+                )
+            return "rt_nrm"
+        raise OidnError(
+            OidnError.INVALID_OPERATION, "invalid combination of input features"
+        )
+
+    def _transfer_kind(self) -> str:
+        # unet.cpp:613-621
+        color, _, normal = self._features()
+        if self.params["srgb"] or (not color and normal):
+            return "linear"
+        if self.params["hdr"]:
+            return "pu"
+        return "srgb"
+
+    def _snorm(self) -> bool:
+        color, _, normal = self._features()
+        return not color and normal
+
+
+class RTLightmapFilter(Filter):
+    """The "RTLightmap" filter (core/unet.cpp:693-763): hdr -> Log transfer;
+    directional -> snorm linear."""
+
+    _image_slots = ("color", "output")
+
+    def __init__(self, device: Device):
+        super().__init__(device)
+        self.params["hdr"] = True
+
+    def set(self, name, value):
+        if name == "directional":
+            self.params["directional"] = bool(value)
+            self.params["hdr"] = not bool(value)
+            self.dirty = True
+            return
+        super().set(name, value)
+
+    def _features(self):
+        return (self.images["color"] is not None, False, False)
+
+    def _select_weights_name(self) -> str:
+        if self.images["color"] is None:
+            raise OidnError(OidnError.INVALID_OPERATION, "color image not set")
+        return "rtlightmap_dir" if self.params["directional"] else "rtlightmap_hdr"
+
+    def _transfer_kind(self) -> str:
+        return "linear" if self.params["directional"] else "log"
+
+    def _snorm(self) -> bool:
+        return bool(self.params["directional"])

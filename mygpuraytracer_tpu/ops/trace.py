@@ -1,0 +1,332 @@
+"""Fast SoA trace core: statically-unrolled, gather-free intersection.
+
+This is the hot path behind render/pathtrace.py. Rationale (measured on v5e):
+a single gather over a 640k-lane wavefront costs ~10 ms — more than an entire
+bounce should. So:
+
+- geometry dispatch is a *python-level* unrolled loop over the scene's static
+  geom list (SceneMeta.geoms); transforms and material constants are program
+  literals, and the nearest-hit winner is carried through running selects;
+- mesh triangles stream through a lax.scan in [rays, chunk] panels, and the
+  winning face's attributes (normal, uv, owning geom) are extracted with a
+  first-match one-hot reduction instead of a gather;
+- all vectors are SoA ([N] per component, ops/vec3.py).
+
+Semantics match ops/intersect.py (the reference-shaped implementation, which
+doubles as this module's test oracle — see tests/test_fastpath.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..scene.structs import GeomType
+from . import vec3 as v3
+from .vec3 import Vec3
+
+HIT_EPS = 1e-4
+
+
+class HitSoA(NamedTuple):
+    """Nearest-hit record with materials already resolved (no gathers)."""
+
+    t: jnp.ndarray  # f32[N], +inf for miss
+    hit: jnp.ndarray  # bool[N]
+    normal: Vec3
+    is_obj: jnp.ndarray  # bool[N] — hit geom is OBJ-typed
+    # material fields (resolved statically per geom)
+    color: Vec3
+    spec_color: Vec3
+    spec_ex: jnp.ndarray
+    refl: jnp.ndarray
+    refr: jnp.ndarray
+    ior: jnp.ndarray
+    emit: jnp.ndarray
+    material_id: jnp.ndarray  # i32[N] (for sort-by-material parity)
+    # texture support (zeros when the scene has no textures)
+    u: jnp.ndarray
+    v: jnp.ndarray
+    kd: jnp.ndarray  # i32[N] texture slots of the hit geom
+    ks: jnp.ndarray
+    ke: jnp.ndarray
+    bump: jnp.ndarray
+
+
+def box_intersect_soa(g, o: Vec3, d: Vec3):
+    """Reference slab test (intersections.h:48-90) on literal matrices.
+
+    Returns (t_world [N] with +inf miss, normal Vec3).
+    """
+    qo = v3.xform_point(g.inverse_transform, o)
+    qd = v3.normalize(v3.xform_dir(g.inverse_transform, d))
+
+    def axis(qo_a, qd_a):
+        t1 = (-0.5 - qo_a) / qd_a
+        t2 = (0.5 - qo_a) / qd_a
+        ta = jnp.minimum(t1, t2)
+        tb = jnp.maximum(t1, t2)
+        sign = jnp.where(t2 < t1, 1.0, -1.0)
+        return jnp.where(ta > 0, ta, -1e38), tb, sign
+
+    tax, tbx, sx = axis(qo.x, qd.x)
+    tay, tby, sy = axis(qo.y, qd.y)
+    taz, tbz, sz = axis(qo.z, qd.z)
+
+    tmin = jnp.maximum(jnp.maximum(tax, tay), taz)
+    tmax = jnp.minimum(jnp.minimum(tbx, tby), tbz)
+    hit = (tmax >= tmin) & (tmax > 0)
+    inside = tmin <= 0
+    t_loc = jnp.where(inside, tmax, tmin)
+
+    # axis that set t_loc, priority x > y > z (argmax/argmin first-match)
+    ux = jnp.where(inside, tbx == tmax, tax == tmin)
+    uy = ~ux & jnp.where(inside, tby == tmax, tay == tmin)
+    uz = ~ux & ~uy
+    ln = Vec3(
+        jnp.where(ux, sx, 0.0), jnp.where(uy, sy, 0.0), jnp.where(uz, sz, 0.0)
+    )
+
+    p_loc = Vec3(
+        qo.x + (t_loc - HIT_EPS) * qd.x,
+        qo.y + (t_loc - HIT_EPS) * qd.y,
+        qo.z + (t_loc - HIT_EPS) * qd.z,
+    )
+    p_w = v3.xform_point(g.transform, p_loc)
+    normal = v3.normalize(v3.xform_dir(g.inv_transpose, ln))
+    t = v3.length(o - p_w)
+    return jnp.where(hit, t, jnp.inf), normal
+
+
+def sphere_intersect_soa(g, o: Vec3, d: Vec3):
+    """Reference quadratic test (intersections.h:102-144), radius 0.5."""
+    qo = v3.xform_point(g.inverse_transform, o)
+    qd = v3.normalize(v3.xform_dir(g.inverse_transform, d))
+
+    vd = v3.dot(qo, qd)
+    radicand = vd * vd - (v3.dot(qo, qo) - 0.25)
+    root = jnp.sqrt(jnp.maximum(radicand, 0.0))
+    t1 = -vd + root
+    t2 = -vd - root
+    both_neg = (t1 < 0) & (t2 < 0)
+    both_pos = (t1 > 0) & (t2 > 0)
+    t_loc = jnp.where(both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2))
+    outside = both_pos
+    hit = (radicand >= 0) & ~both_neg
+
+    p_loc = Vec3(
+        qo.x + (t_loc - HIT_EPS) * qd.x,
+        qo.y + (t_loc - HIT_EPS) * qd.y,
+        qo.z + (t_loc - HIT_EPS) * qd.z,
+    )
+    p_w = v3.xform_point(g.transform, p_loc)
+    n = v3.normalize(v3.xform_dir(g.inv_transpose, p_loc))
+    n = v3.where(outside, n, -n)
+    t = v3.length(o - p_w)
+    return jnp.where(hit, t, jnp.inf), n
+
+
+def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int):
+    """Nearest world-space triangle via chunked Moller-Trumbore.
+
+    Returns (t [N], normal Vec3 (unnormalized cross), u, v, geom_id [N]).
+    Attributes come from a first-match one-hot reduction over each chunk —
+    no gathers anywhere.
+    """
+    F = dev.face_cols[0].shape[0]
+    n = o.x.shape[0]
+    chunk = min(chunk, F)
+    while F % chunk:
+        chunk //= 2
+    n_chunks = F // chunk
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = dev.face_cols
+
+    def body(carry, ci):
+        bt, bnx, bny, bnz, bu, bv, bgid = carry
+        s = ci * chunk
+        sl = lambda a: lax.dynamic_slice_in_dim(a, s, chunk)
+        f_v0x, f_v0y, f_v0z = sl(v0x), sl(v0y), sl(v0z)
+        f_e1x, f_e1y, f_e1z = sl(e1x), sl(e1y), sl(e1z)
+        f_e2x, f_e2y, f_e2z = sl(e2x), sl(e2y), sl(e2z)
+        f_gid = sl(dev.face_geom)
+
+        dx, dy, dz = d.x[:, None], d.y[:, None], d.z[:, None]
+        ox, oy, oz = o.x[:, None], o.y[:, None], o.z[:, None]
+
+        # pvec = cross(d, e2): [N, C]
+        px = dy * f_e2z - dz * f_e2y
+        py = dz * f_e2x - dx * f_e2z
+        pz = dx * f_e2y - dy * f_e2x
+        det = f_e1x * px + f_e1y * py + f_e1z * pz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        tx, ty, tz = ox - f_v0x, oy - f_v0y, oz - f_v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        # qvec = cross(tvec, e1)
+        qx = ty * f_e1z - tz * f_e1y
+        qy = tz * f_e1x - tx * f_e1z
+        qz = tx * f_e1y - ty * f_e1x
+        vv = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (f_e2x * qx + f_e2y * qy + f_e2z * qz) * inv_det
+        ok = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (vv >= 0.0)
+            & (u + vv <= 1.0)
+            & (t > HIT_EPS)
+        )
+        t = jnp.where(ok, t, jnp.inf)  # [N,C]
+        tc = jnp.min(t, axis=1)  # [N]
+        # first-match one-hot of the chunk winner
+        is_min = (t == tc[:, None]) & jnp.isfinite(t)
+        first = jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1
+        oh = (is_min & first).astype(t.dtype)
+
+        # face normal = cross(e1, e2) (world space), picked via one-hot sum
+        fnx = f_e1y * f_e2z - f_e1z * f_e2y
+        fny = f_e1z * f_e2x - f_e1x * f_e2z
+        fnz = f_e1x * f_e2y - f_e1y * f_e2x
+        cnx = jnp.sum(oh * fnx, axis=1)
+        cny = jnp.sum(oh * fny, axis=1)
+        cnz = jnp.sum(oh * fnz, axis=1)
+        cu = jnp.sum(oh * u, axis=1)
+        cv = jnp.sum(oh * vv, axis=1)
+        cgid = jnp.sum(oh * f_gid.astype(t.dtype), axis=1)
+
+        better = tc < bt
+        return (
+            jnp.where(better, tc, bt),
+            jnp.where(better, cnx, bnx),
+            jnp.where(better, cny, bny),
+            jnp.where(better, cnz, bnz),
+            jnp.where(better, cu, bu),
+            jnp.where(better, cv, bv),
+            jnp.where(better, cgid, bgid),
+        ), None
+
+    zeros = jnp.zeros((n,), jnp.float32)
+    init = (jnp.full((n,), jnp.inf, jnp.float32), zeros, zeros, zeros, zeros, zeros, zeros)
+    (bt, bnx, bny, bnz, bu, bv, bgid), _ = lax.scan(
+        body, init, jnp.arange(n_chunks)
+    )
+    return bt, Vec3(bnx, bny, bnz), bu, bv, bgid
+
+
+def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
+    """Nearest hit over the whole scene with materials resolved in-loop."""
+    n = o.x.shape[0]
+    f32 = jnp.float32
+    zeros = jnp.zeros((n,), f32)
+    izeros = jnp.zeros((n,), jnp.int32)
+
+    t_best = jnp.full((n,), jnp.inf, f32)
+    normal = Vec3(zeros, zeros, zeros)
+    col = Vec3(zeros, zeros, zeros)
+    spec = Vec3(zeros, zeros, zeros)
+    spec_ex = zeros
+    refl = zeros
+    refr = zeros
+    ior = zeros
+    emit = zeros
+    mat_id = izeros
+    is_obj = jnp.zeros((n,), bool)
+    uu = zeros
+    vv = zeros
+    kd = izeros
+    ks = izeros
+    ke = izeros
+    bump = izeros
+
+    def set_mat(better, g, _col, _spec, _spec_ex, _refl, _refr, _ior, _emit, _mid,
+                _kd, _ks, _ke, _bump):
+        _col = v3.where(better, v3.splat(g.color), _col)
+        _spec = v3.where(better, v3.splat(g.spec_color), _spec)
+        _spec_ex = jnp.where(better, g.spec_exponent, _spec_ex)
+        _refl = jnp.where(better, g.has_reflective, _refl)
+        _refr = jnp.where(better, g.has_refractive, _refr)
+        _ior = jnp.where(better, g.ior, _ior)
+        _emit = jnp.where(better, g.emittance, _emit)
+        _mid = jnp.where(better, g.material_id, _mid)
+        _kd = jnp.where(better, g.kd, _kd)
+        _ks = jnp.where(better, g.ks, _ks)
+        _ke = jnp.where(better, g.ke, _ke)
+        _bump = jnp.where(better, g.bump, _bump)
+        return _col, _spec, _spec_ex, _refl, _refr, _ior, _emit, _mid, _kd, _ks, _ke, _bump
+
+    # ---- primitives: static unroll (first geom wins ties, like the
+    #      strict `t_min > t` scan in pathtrace.cu:360) ----------------------
+    for gi, g in enumerate(meta.geoms):
+        if g.type == int(GeomType.CUBE):
+            t, nrm = box_intersect_soa(g, o, d)
+        elif g.type == int(GeomType.SPHERE):
+            t, nrm = sphere_intersect_soa(g, o, d)
+        else:
+            continue  # TRIANGLE has no dispatch case; OBJ handled below
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        normal = v3.where(better, nrm, normal)
+        is_obj = jnp.where(better, False, is_obj)
+        (col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump) = set_mat(
+            better, g, col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump
+        )
+
+    # ---- meshes ------------------------------------------------------------
+    if meta.has_obj:
+        mt, mn, mu, mv, mgid = mesh_intersect_soa(meta, dev, o, d, face_chunk)
+        better = mt < t_best
+        t_best = jnp.where(better, mt, t_best)
+        normal = v3.where(better, v3.normalize(mn), normal)
+        is_obj = jnp.where(better, True, is_obj)
+        uu = jnp.where(better, mu, uu)
+        vv = jnp.where(better, mv, vv)
+        for gi, g in enumerate(meta.geoms):
+            if g.type != int(GeomType.OBJ):
+                continue
+            sel = better & (jnp.abs(mgid - gi) < 0.5)
+            (col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump) = set_mat(
+                sel, g, col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump
+            )
+
+    hit = jnp.isfinite(t_best)
+    return HitSoA(
+        t=t_best,
+        hit=hit,
+        normal=normal,
+        is_obj=is_obj,
+        color=col,
+        spec_color=spec,
+        spec_ex=spec_ex,
+        refl=refl,
+        refr=refr,
+        ior=ior,
+        emit=emit,
+        material_id=mat_id,
+        u=uu,
+        v=vv,
+        kd=kd,
+        ks=ks,
+        ke=ke,
+        bump=bump,
+    )
+
+
+def fetch_texel_soa(dev, tex_id, u, v):
+    """Nearest texel fetch (gather path — textured OBJ scenes only)."""
+    meta = dev.tex_meta[tex_id]  # [N,4] gather
+    off, w, h, ch = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
+    cu = jnp.clip((u * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
+    cv = jnp.clip((v * h).astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
+    pix = off + cv * w + cu
+    rgb = dev.tex_atlas[pix]
+    present = ch > 0
+    zero = jnp.zeros_like(rgb[:, 0])
+    return (
+        Vec3(
+            jnp.where(present, rgb[:, 0], zero),
+            jnp.where(present, rgb[:, 1], zero),
+            jnp.where(present, rgb[:, 2], zero),
+        ),
+        present,
+    )

@@ -1,0 +1,143 @@
+"""One Monte-Carlo camera sample: the wavefront pipeline (SoA fast path).
+
+TPU re-architecture of pathtrace() (apps/src/pathtrace.cu:527-671). The
+reference's dynamic while-loop with stream compaction becomes a fixed-length
+bounce loop over static-shape SoA buffers:
+
+    one RNG block -> raygen -> bounce 0 (first-bounce cache + albedo AOV) ->
+    lax.scan over bounces 1..depth-1 -> finalGather (color * pi)
+
+Dead lanes are masked rather than compacted (see ops/compaction.py for why).
+Each scanned bounce is guarded by a scalar ``any alive`` lax.cond so late
+bounces in scenes with heavy early termination are skipped outright — the
+static-shape analog of the reference's ``num_paths == 0`` early exit
+(pathtrace.cu:651).
+
+All per-iteration randomness is generated as ONE [K, N] block up front
+(row-major streams: 2 AA + 2 DoF + 3 per bounce); per-bounce rows are carved
+out with dynamic slices. One RNG dispatch per sample instead of 9+.
+
+First-bounce cache semantics (pathtrace.cu:586-609): active only when AA and
+DoF are off; iteration 1 writes the cache, later iterations reuse it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import RenderOptions
+from ..ops import rng
+from ..ops.trace import HitSoA, intersect_soa
+from ..ops.vec3 import Vec3
+from ..scene.device_scene import DeviceScene, SceneMeta
+from .camera import generate_camera_rays
+from .shade import PathStateSoA, albedo_soa, shade_soa
+
+PI = math.pi  # finalGather multiplies by pi (pathtrace.cu:508)
+
+
+class SampleOutput(NamedTuple):
+    color: Vec3  # [N] triple — this sample's contribution (already * pi)
+    albedo: Vec3  # [N] triple — zero except at iteration 1
+    cache: HitSoA  # updated first-bounce cache
+
+
+def make_empty_cache(n: int) -> HitSoA:
+    # Distinct buffers per field: the cache is donated, and donated pytree
+    # leaves must not alias each other.
+    z = lambda: jnp.zeros((n,), jnp.float32)
+    zi = lambda: jnp.zeros((n,), jnp.int32)
+    zb = lambda: jnp.zeros((n,), bool)
+    zv = lambda: Vec3(z(), z(), z())
+    return HitSoA(
+        t=jnp.full((n,), jnp.inf, jnp.float32),
+        hit=zb(),
+        normal=zv(),
+        is_obj=zb(),
+        color=zv(),
+        spec_color=zv(),
+        spec_ex=z(),
+        refl=z(),
+        refr=z(),
+        ior=z(),
+        emit=z(),
+        material_id=zi(),
+        u=z(),
+        v=z(),
+        kd=zi(),
+        ks=zi(),
+        ke=zi(),
+        bump=zi(),
+    )
+
+
+def num_rng_streams(trace_depth: int) -> int:
+    return 4 + 3 * trace_depth
+
+
+def render_sample(
+    dev: DeviceScene,
+    meta: SceneMeta,
+    options: RenderOptions,
+    iteration: jnp.ndarray,  # i32 scalar, 1-based like the reference
+    base_key: jax.Array,
+    cache: HitSoA,
+) -> SampleOutput:
+    width, height = meta.resolution
+    n = width * height
+    trace_depth = meta.trace_depth
+    ikey = rng.iteration_key(base_key, iteration)
+    U = jax.random.uniform(ikey, (num_rng_streams(trace_depth), n), dtype=jnp.float32)
+
+    o, d = generate_camera_rays(dev.camera, meta.resolution, options, U)
+    ones = jnp.ones((n,), jnp.float32)
+    state = PathStateSoA(
+        origin=o,
+        direction=d,
+        color=Vec3(ones, ones, ones),
+        remaining=jnp.full((n,), trace_depth, jnp.int32),
+    )
+
+    # ---- bounce 0: cache + albedo -------------------------------------------
+    if options.first_bounce_cache_active:
+        def compute_and_cache(_):
+            h = intersect_soa(meta, dev, state.origin, state.direction, options.face_chunk)
+            return h, h
+
+        def reuse(_):
+            return cache, cache
+
+        hit0, new_cache = lax.cond(iteration == 1, compute_and_cache, reuse, None)
+    else:
+        hit0 = intersect_soa(meta, dev, state.origin, state.direction, options.face_chunk)
+        new_cache = cache
+
+    alb = albedo_soa(meta, dev, hit0)
+    first = iteration == 1
+    z = jnp.zeros((n,), jnp.float32)
+    albedo = Vec3(
+        jnp.where(first, alb.x, z), jnp.where(first, alb.y, z), jnp.where(first, alb.z, z)
+    )
+    state = shade_soa(meta, dev, state, hit0, U[4], U[5], U[6])
+
+    # ---- bounces 1..depth-1 ---------------------------------------------------
+    def bounce(carry: PathStateSoA, depth_idx):
+        def do(s: PathStateSoA) -> PathStateSoA:
+            h = intersect_soa(meta, dev, s.origin, s.direction, options.face_chunk)
+            u = lax.dynamic_slice_in_dim(U, 4 + 3 * depth_idx, 3, axis=0)
+            return shade_soa(meta, dev, s, h, u[0], u[1], u[2])
+
+        any_alive = jnp.any(carry.remaining > 0)
+        carry = lax.cond(any_alive, do, lambda s: s, carry)
+        return carry, None
+
+    if trace_depth > 1:
+        state, _ = lax.scan(bounce, state, jnp.arange(1, trace_depth))
+
+    color = Vec3(state.color.x * PI, state.color.y * PI, state.color.z * PI)
+    return SampleOutput(color=color, albedo=albedo, cache=new_cache)

@@ -1,0 +1,181 @@
+"""Stateful render orchestration.
+
+Host-side equivalent of pathtraceInit/pathtrace/pathtraceFree + the runCuda
+accumulation protocol (apps/src/pathtrace.cu:130-223,527-671;
+apps/src/main.cpp:221-281): owns the accumulator image, albedo AOV,
+first-bounce cache and the iteration counter; camera moves reset the
+accumulator (main.cpp:222-248).
+
+All per-iteration work — raygen, the bounce loop, the pi-weighted gather and
+the accumulator update — runs inside ONE jit with the accumulators donated.
+``step_many`` additionally folds a whole batch of iterations into a single
+device program (traced loop bound: one compile serves any sample count),
+which matters when the host<->device link has per-dispatch latency. The
+reference instead copies the full image GPU->host every frame
+(pathtrace.cu:663-669).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderOptions
+from ..ops.vec3 import Vec3
+from ..scene.device_scene import build_device_scene, camera_params
+from ..scene.structs import Scene
+from ..utils.timer import PerformanceTimer
+from .pathtrace import make_empty_cache, render_sample
+
+
+def _accumulate(image: Vec3, albedo_acc: Vec3, out, iteration):
+    image = Vec3(image.x + out.color.x, image.y + out.color.y, image.z + out.color.z)
+    first = iteration == 1
+    albedo_acc = Vec3(
+        jnp.where(first, out.albedo.x, albedo_acc.x),
+        jnp.where(first, out.albedo.y, albedo_acc.y),
+        jnp.where(first, out.albedo.z, albedo_acc.z),
+    )
+    return image, albedo_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "options"),
+    donate_argnames=("image", "albedo_acc", "cache"),
+)
+def _iteration_step(dev, meta, options, image, albedo_acc, cache, iteration, base_key):
+    out = render_sample(dev, meta, options, iteration, base_key, cache)
+    image, albedo_acc = _accumulate(image, albedo_acc, out, iteration)
+    return image, albedo_acc, out.cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "options"),
+    donate_argnames=("image", "albedo_acc", "cache"),
+)
+def _multi_step(
+    dev, meta, options, image, albedo_acc, cache, start_iteration, num_iters, base_key
+):
+    def body(i, carry):
+        image, albedo_acc, cache = carry
+        iteration = start_iteration + i
+        out = render_sample(dev, meta, options, iteration, base_key, cache)
+        image, albedo_acc = _accumulate(image, albedo_acc, out, iteration)
+        return (image, albedo_acc, out.cache)
+
+    return jax.lax.fori_loop(0, num_iters, body, (image, albedo_acc, cache))
+
+
+class Renderer:
+    """One scene bound to device buffers; call step()/step_many()/render()."""
+
+    def __init__(self, scene: Scene, options: RenderOptions | None = None, seed: int = 0):
+        self.scene = scene
+        self.options = options or RenderOptions()
+        self.dev, self.meta = build_device_scene(scene, self.options.face_chunk)
+        self.base_key = jax.random.key(seed)
+        self.timer = PerformanceTimer()
+        self.reset()
+
+    # -- lifecycle (pathtraceInit/Free analog) --------------------------------
+    def reset(self) -> None:
+        """Zero accumulators and iteration counter (camera-move semantics)."""
+        w, h = self.meta.resolution
+        n = w * h
+        # Distinct buffers per field: donated args must not alias.
+        zeros = lambda: jnp.zeros((n,), jnp.float32)
+        self.image = Vec3(zeros(), zeros(), zeros())
+        self.albedo = Vec3(zeros(), zeros(), zeros())
+        self.cache = make_empty_cache(n)
+        self.iteration = 0
+
+    def move_camera(self, position=None, look_at=None) -> None:
+        """Update the camera and reset accumulation (main.cpp:222-248)."""
+        cam = self.scene.state.camera
+        if position is not None:
+            cam.position = np.asarray(position, np.float32)
+        if look_at is not None:
+            cam.look_at = np.asarray(look_at, np.float32)
+        cam.rebuild()
+        self.dev = self.dev._replace(camera=camera_params(cam))
+        self.reset()
+
+    # -- iteration ------------------------------------------------------------
+    def step(self) -> int:
+        """Run one MC iteration; returns the new iteration count."""
+        self.iteration += 1
+        self.image, self.albedo, self.cache = _iteration_step(
+            self.dev,
+            self.meta,
+            self.options,
+            self.image,
+            self.albedo,
+            self.cache,
+            jnp.int32(self.iteration),
+            self.base_key,
+        )
+        return self.iteration
+
+    def step_many(self, num_iters: int) -> int:
+        """Run ``num_iters`` MC iterations in one device dispatch."""
+        self.image, self.albedo, self.cache = _multi_step(
+            self.dev,
+            self.meta,
+            self.options,
+            self.image,
+            self.albedo,
+            self.cache,
+            jnp.int32(self.iteration + 1),
+            jnp.int32(num_iters),
+            self.base_key,
+        )
+        self.iteration += num_iters
+        return self.iteration
+
+    def render(
+        self, iterations: int | None = None, progress=None, batch: int = 16
+    ) -> np.ndarray:
+        """Run ``iterations`` samples (default: the scene's ITERATIONS) and
+        return the normalized beauty image HxWx3.
+
+        Iterations are dispatched in device-side batches; ``progress`` (the
+        cooperative-cancel callback, cf. oidnDenoise progress monitor) is
+        polled between batches.
+        """
+        total = iterations if iterations is not None else self.meta.iterations
+        self.timer.start()
+        done = 0
+        while done < total:
+            n = min(batch, total - done)
+            self.step_many(n)
+            done += n
+            if progress is not None and not progress(done / total):
+                break
+        self.timer.end(sync=self.image.x)
+        return self.beauty()
+
+    # -- outputs ----------------------------------------------------------------
+    def _to_hw3(self, flat: Vec3) -> np.ndarray:
+        w, h = self.meta.resolution
+        arr = np.stack(
+            [np.asarray(flat.x), np.asarray(flat.y), np.asarray(flat.z)], axis=-1
+        )
+        return arr.reshape(h, w, 3)
+
+    def beauty(self) -> np.ndarray:
+        """Accumulated image / iteration count (sendImageToPBO semantics)."""
+        it = max(self.iteration, 1)
+        img = self._to_hw3(self.image)
+        return img / it
+
+    def albedo_image(self) -> np.ndarray:
+        return self._to_hw3(self.albedo)
+
+    def raw_accumulator(self) -> np.ndarray:
+        return self._to_hw3(self.image)

@@ -68,6 +68,10 @@ class DeviceScene(NamedTuple):
     face_uv1: jnp.ndarray  # f32[F,2]
     face_uv2: jnp.ndarray  # f32[F,2]
     face_geom: jnp.ndarray  # i32[F] owning geom (pad faces point at geom 0)
+    # SoA columns of the same triangles for the fast trace path: a [F,3]
+    # slice-by-column is a strided load on TPU; flat [F] columns stream clean.
+    face_cols: tuple  # 9x f32[F]: v0x v0y v0z e1x e1y e1z e2x e2y e2z
+    face_uv_cols: tuple  # 6x f32[F]: uv0u uv0v uv1u uv1v uv2u uv2v
 
     # Materials [M]
     mat_color: jnp.ndarray  # f32[M,3]
@@ -86,6 +90,37 @@ class DeviceScene(NamedTuple):
 
 
 @dataclasses.dataclass(frozen=True)
+class GeomStatic:
+    """Host-static per-geom constants, baked into the compiled trace program.
+
+    On TPU a gather from a tiny table costs ~10ms over a 640k-lane wavefront;
+    embedding the scene's handful of transforms/materials as literals makes
+    geometry dispatch and material resolution pure register math.
+    """
+
+    type: int
+    material_id: int
+    transform: tuple  # 4x4 nested tuple of floats
+    inverse_transform: tuple
+    inv_transpose: tuple
+    # material fields (scene.cpp Material)
+    color: tuple  # (r,g,b)
+    spec_color: tuple
+    spec_exponent: float
+    has_reflective: float
+    has_refractive: float
+    ior: float
+    emittance: float
+    # texture slots (0 = none)
+    kd: int
+    ks: int
+    ke: int
+    bump: int
+    face_start: int
+    face_count: int
+
+
+@dataclasses.dataclass(frozen=True)
 class SceneMeta:
     """Static (non-traced) scene facts; changing any retriggers jit tracing."""
 
@@ -96,8 +131,10 @@ class SceneMeta:
     num_geoms: int
     num_faces: int  # real (unpadded) face count
     has_obj: bool
+    has_textures: bool
     # Per-geom [start, count) into the face buffer, for geoms of type OBJ.
     face_ranges: tuple[tuple[int, int], ...]
+    geoms: tuple[GeomStatic, ...] = ()
 
 
 def _pad_to(n: int, multiple: int) -> int:
@@ -239,6 +276,16 @@ def build_device_scene(
         face_uv1=jnp.asarray(face_uv1),
         face_uv2=jnp.asarray(face_uv2),
         face_geom=jnp.asarray(face_geom),
+        face_cols=tuple(
+            jnp.asarray(np.ascontiguousarray(col))
+            for arr in (face_v0, face_e1, face_e2)
+            for col in (arr[:, 0], arr[:, 1], arr[:, 2])
+        ),
+        face_uv_cols=tuple(
+            jnp.asarray(np.ascontiguousarray(col))
+            for arr in (face_uv0, face_uv1, face_uv2)
+            for col in (arr[:, 0], arr[:, 1])
+        ),
         mat_color=jnp.asarray(mat_color),
         mat_spec_color=jnp.asarray(mat_spec_color),
         mat_spec_ex=jnp.asarray(mat_spec_ex),
@@ -250,6 +297,38 @@ def build_device_scene(
         tex_meta=jnp.asarray(tex_meta_arr),
         camera=camera_params(scene.state.camera),
     )
+    def _t4(m) -> tuple:
+        return tuple(tuple(float(v) for v in row) for row in np.asarray(m))
+
+    def _t3(v) -> tuple:
+        return tuple(float(x) for x in np.asarray(v))
+
+    geom_statics = []
+    for gi, g in enumerate(geoms):
+        m = mats[g.materialid] if 0 <= g.materialid < len(mats) else mats[0]
+        geom_statics.append(
+            GeomStatic(
+                type=int(g.type),
+                material_id=int(g.materialid),
+                transform=_t4(g.transform),
+                inverse_transform=_t4(g.inverse_transform),
+                inv_transpose=_t4(g.inv_transpose),
+                color=_t3(m.color),
+                spec_color=_t3(m.specular_color),
+                spec_exponent=float(m.specular_exponent),
+                has_reflective=float(m.has_reflective),
+                has_refractive=float(m.has_refractive),
+                ior=float(m.index_of_refraction),
+                emittance=float(m.emittance),
+                kd=int(geom_kd[gi]),
+                ks=int(geom_ks[gi]),
+                ke=int(geom_ke[gi]),
+                bump=int(geom_bump[gi]),
+                face_start=int(face_ranges[gi][0]),
+                face_count=int(face_ranges[gi][1]),
+            )
+        )
+
     meta = SceneMeta(
         resolution=tuple(scene.state.camera.resolution),
         trace_depth=scene.state.trace_depth,
@@ -258,6 +337,11 @@ def build_device_scene(
         num_geoms=G,
         num_faces=num_faces,
         has_obj=any(g.type == GeomType.OBJ for g in geoms),
+        has_textures=bool(
+            (geom_kd > 0).any() or (geom_ks > 0).any()
+            or (geom_ke > 0).any() or (geom_bump > 0).any()
+        ),
         face_ranges=tuple(face_ranges),
+        geoms=tuple(geom_statics),
     )
     return dev, meta

@@ -109,9 +109,11 @@ class Camera:
     right: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
     fov: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(2, np.float32))
     pixel_length: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(2, np.float32))
+    fovy: float = 45.0
 
     def derive_fov(self, fovy_deg: float) -> None:
         """scene.cpp:364-372."""
+        self.fovy = fovy_deg
         xres, yres = self.resolution
         yscaled = math.tan(fovy_deg * math.pi / 180.0)
         xscaled = yscaled * xres / yres
@@ -168,3 +170,14 @@ class Scene:
     all_faces: list[list[Face]] = dataclasses.field(default_factory=list)
     state: RenderState = dataclasses.field(default_factory=RenderState)
     source_path: str = ""
+
+    def set_resolution(self, width: int, height: int) -> None:
+        """Re-derive the camera for a different resolution (keeps fovy).
+
+        Handy for fast tests/benchmarks; the reference would require editing
+        the scene file's RES line.
+        """
+        cam = self.state.camera
+        cam.resolution = (width, height)
+        cam.derive_fov(cam.fovy)
+        self.state.alloc()

@@ -1,0 +1,125 @@
+"""End-to-end render tests on small resolutions (CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mygpuraytracer_tpu.config import RenderOptions
+from mygpuraytracer_tpu.render import Renderer
+from mygpuraytracer_tpu.scene import load_scene
+
+
+@pytest.fixture(scope="module")
+def cornell_small(reference_scenes):
+    s = load_scene(str(reference_scenes / "cornell.txt"))
+    s.set_resolution(64, 64)
+    return s
+
+
+def test_cornell_smoke(cornell_small):
+    r = Renderer(cornell_small, RenderOptions(), seed=0)
+    r.render(iterations=4)
+    img = r.beauty()
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.5  # something bright (light or lit wall)
+    assert img.mean() > 0.01  # not black
+    assert img.mean() < 5.0  # and not blown out
+
+
+def test_albedo_aov(cornell_small):
+    r = Renderer(cornell_small, RenderOptions(), seed=0)
+    r.render(iterations=1)
+    alb = r.albedo_image()
+    assert np.isfinite(alb).all()
+    # Light pixels carry color*emittance = 5; walls carry ~0.98/0.85 colors
+    assert alb.max() > 4.0
+    vals = alb.reshape(-1, 3)
+    # most pixels should be wall-ish albedo (0.3 - 1.0)
+    frac_wall = ((vals.max(axis=1) > 0.3) & (vals.max(axis=1) <= 1.0)).mean()
+    assert frac_wall > 0.5
+
+
+def test_emissive_light_visible(cornell_small):
+    """First-bounce emissive hits contribute color*emittance*pi ~ 15.7."""
+    r = Renderer(cornell_small, RenderOptions(antialiasing=False), seed=0)
+    r.render(iterations=1)
+    img = r.beauty()
+    assert img.max() > 10.0  # the light itself (5 * pi)
+
+
+def test_first_bounce_cache_consistency(cornell_small):
+    """With AA off, cache on vs off must give identical images (same seeds)."""
+    opts_cache = RenderOptions(antialiasing=False, cache_first_bounce=True)
+    opts_nocache = RenderOptions(antialiasing=False, cache_first_bounce=False)
+    assert opts_cache.first_bounce_cache_active
+
+    r1 = Renderer(cornell_small, opts_cache, seed=7)
+    r2 = Renderer(cornell_small, opts_nocache, seed=7)
+    r1.render(iterations=3)
+    r2.render(iterations=3)
+    np.testing.assert_allclose(r1.beauty(), r2.beauty(), atol=1e-5)
+
+
+def test_accumulation_reduces_variance(cornell_small):
+    r = Renderer(cornell_small, RenderOptions(), seed=0)
+    r.render(iterations=1)
+    img1 = r.beauty()
+    r.render(iterations=7)  # 8 total
+    img8 = r.beauty()
+    # Variance between neighboring pixels should drop as samples accumulate
+    def neighbor_var(img):
+        return float(np.mean((img[:, 1:] - img[:, :-1]) ** 2))
+
+    assert neighbor_var(img8) < neighbor_var(img1)
+
+
+def test_sphere_scene(reference_scenes):
+    s = load_scene(str(reference_scenes / "sphere.txt"))
+    s.set_resolution(32, 32)
+    r = Renderer(s, RenderOptions(), seed=0)
+    r.render(iterations=2)
+    img = r.beauty()
+    # Emissive sphere at origin scale 3 (radius 1.5), camera at (0,5,10.5)
+    # looking at (0,5,0): sphere appears below center; misses are black.
+    assert np.isfinite(img).all()
+    assert img.max() > 10.0  # emissive surface = 5*pi
+    assert (img.reshape(-1, 3).max(axis=1) == 0).mean() > 0.5  # mostly empty
+
+
+def test_glass_scene_finite(reference_scenes):
+    s = load_scene(str(reference_scenes / "cornellGlass.txt"))
+    s.set_resolution(48, 48)
+    r = Renderer(s, RenderOptions(), seed=1)
+    r.render(iterations=3)
+    img = r.beauty()
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
+
+
+def test_obj_scene_renders(reference_scenes):
+    s = load_scene(str(reference_scenes / "cornellObj.txt"))
+    s.set_resolution(48, 48)
+    r = Renderer(s, RenderOptions(), seed=2)
+    r.render(iterations=2)
+    img = r.beauty()
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
+
+
+def test_move_camera_resets(cornell_small):
+    r = Renderer(cornell_small, RenderOptions(), seed=0)
+    r.render(iterations=2)
+    assert r.iteration == 2
+    r.move_camera(position=[0.0, 5.0, 12.0])
+    assert r.iteration == 0
+    assert float(jnp.sum(r.image.x) + jnp.sum(r.image.y) + jnp.sum(r.image.z)) == 0.0
+    r.render(iterations=1)
+    assert np.isfinite(r.beauty()).all()
+
+
+def test_depth_of_field_runs(cornell_small):
+    r = Renderer(cornell_small, RenderOptions(depth_of_field=True), seed=0)
+    r.render(iterations=1)
+    assert np.isfinite(r.beauty()).all()
