@@ -223,7 +223,7 @@ class Filter:
             raise OidnError(OidnError.INVALID_OPERATION, "output image not set")
         h, w = output.shape[:2]
         for name in ("color", "albedo", "normal"):
-            img = self.images[name]
+            img = self.images.get(name)
             if img is not None and img.shape[:2] != (h, w):
                 raise OidnError(OidnError.INVALID_OPERATION, "image size mismatch")
         if self.params.get("directional") and (self.params["hdr"] or self.params["srgb"]):
@@ -348,7 +348,7 @@ class Filter:
         hdr = bool(self.params["hdr"])
         has_color = self.images["color"] is not None
         for name in ("color", "albedo", "normal"):
-            img = self.images[name]
+            img = self.images.get(name)
             if img is None:
                 continue
             window = np.zeros((tile_h, tile_w, 3), np.float32)

@@ -1,0 +1,352 @@
+"""Denoiser API tests mirroring the reference's oidnTest.cpp surface
+(apps/oidnTest.cpp): filter lifecycle, dirty-state semantics, degenerate
+sizes, input sanitization, progress/cancellation — on constant synthetic
+images, no dataset needed."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mygpuraytracer_tpu.denoise import (
+    Device,
+    OidnError,
+    read_tza,
+    write_tza,
+    init_unet_params,
+    unet_apply,
+)
+from mygpuraytracer_tpu.denoise.unet import conv_specs, params_from_tza
+from mygpuraytracer_tpu.denoise import color as color_mod
+
+import jax.numpy as jnp
+
+
+def make_const_image(h, w, value=0.5):
+    return np.full((h, w, 3), value, np.float32)
+
+
+def make_device():
+    dev = Device()
+    dev.commit()
+    return dev
+
+
+def run_filter(dev, h, w, albedo=True, **params):
+    f = dev.new_filter("RT")
+    f.set_image("color", make_const_image(h, w))
+    if albedo:
+        f.set_image("albedo", make_const_image(h, w))
+    out = np.zeros((h, w, 3), np.float32)
+    f.set_image("output", out)
+    for k, v in params.items():
+        f.set(k, v)
+    f.commit()
+    f.execute()
+    return out, f
+
+
+# ----------------------------------------------------------------------------
+# TZA
+
+
+def test_tza_roundtrip(tmp_path):
+    tensors = {
+        "enc_conv0.weight": (np.random.rand(32, 9, 3, 3).astype(np.float32), "oihw"),
+        "enc_conv0.bias": (np.random.rand(32).astype(np.float32), "x"),
+    }
+    path = str(tmp_path / "w.tza")
+    write_tza(path, tensors)
+    back = read_tza(path)
+    assert set(back) == set(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(back[k][0], tensors[k][0])
+        assert back[k][1] == tensors[k][1]
+
+
+def test_tza_rejects_lfs_stub(tmp_path):
+    p = tmp_path / "stub.tza"
+    p.write_bytes(b"version https://git-lfs.github.com/spec/v1\noid sha256:abc\nsize 3670280\n")
+    with pytest.raises(ValueError, match="git-LFS"):
+        read_tza(str(p))
+
+
+def test_reference_weights_are_stubs():
+    """Documents the asset gotcha: the checkout's weights are LFS pointers."""
+    import os
+
+    path = "/root/reference/weights/rt_hdr_alb.tza"
+    if not os.path.exists(path):
+        pytest.skip("reference weights absent")
+    with pytest.raises(ValueError):
+        read_tza(path)
+
+
+# ----------------------------------------------------------------------------
+# U-Net
+
+
+def test_unet_shapes():
+    params = init_unet_params(6)
+    x = jnp.zeros((1, 64, 80, 6))
+    y = unet_apply(params, x)
+    assert y.shape == (1, 64, 80, 3)
+
+
+def test_unet_channel_chain():
+    specs = conv_specs(9)
+    # consecutive convs must be channel-compatible through the topology
+    assert specs[0][1] == 9 and specs[-1][2] == 3
+    assert specs[7][1] == 96 + 64  # dec_conv4a: ec5 + ec3
+    assert specs[13][1] == 64 + 9  # dec_conv1a: dc2 + input
+
+
+def test_params_from_tza_layout():
+    w = np.arange(32 * 9 * 3 * 3, dtype=np.float32).reshape(32, 9, 3, 3)
+    params = params_from_tza({"enc_conv0.weight": (w, "oihw"), "enc_conv0.bias": (np.zeros(32, np.float32), "x")})
+    assert params["enc_conv0"]["w"].shape == (3, 3, 9, 32)
+    # spot-check transpose: oihw [o,i,h,w] -> hwio [h,w,i,o]
+    assert float(params["enc_conv0"]["w"][1, 2, 3, 4]) == float(w[4, 3, 1, 2])
+
+
+# ----------------------------------------------------------------------------
+# Transfer functions
+
+
+def test_srgb_roundtrip():
+    y = jnp.linspace(0.0, 1.0, 101)
+    tf = color_mod.make_transfer("srgb")
+    np.testing.assert_allclose(np.asarray(tf.inverse(tf.forward(y))), np.asarray(y), atol=1e-5)
+
+
+def test_pu_roundtrip():
+    y = jnp.logspace(-6, 4, 101)
+    tf = color_mod.make_transfer("pu")
+    np.testing.assert_allclose(
+        np.asarray(tf.inverse(tf.forward(y))), np.asarray(y), rtol=1e-3
+    )
+
+
+def test_log_roundtrip():
+    y = jnp.logspace(-4, 4, 51)
+    tf = color_mod.make_transfer("log")
+    # f32 exp(log(x)) over 8 decades: relative error grows with magnitude
+    np.testing.assert_allclose(
+        np.asarray(tf.inverse(tf.forward(y))), np.asarray(y), rtol=2e-2
+    )
+
+
+def test_autoexposure_const():
+    img = jnp.full((64, 64, 3), 0.18)
+    # luminance of (0.18,0.18,0.18) = 0.18 -> scale = 1
+    np.testing.assert_allclose(float(color_mod.autoexposure(img)), 1.0, rtol=1e-3)
+
+
+def test_autoexposure_black():
+    img = jnp.zeros((64, 64, 3))
+    assert float(color_mod.autoexposure(img)) == 1.0
+
+
+# ----------------------------------------------------------------------------
+# Filter API (oidnTest.cpp parity)
+
+
+def test_single_filter_multiple_frames():
+    dev = make_device()
+    out, f = run_filter(dev, 64, 64)
+    assert np.isfinite(out).all()
+    for _ in range(2):  # 3 frames total (oidnTest.cpp:56-90)
+        f.execute()
+    assert np.isfinite(out).all()
+
+
+def test_multiple_filters_size_churn():
+    dev = make_device()
+    # small -> large -> medium on the same device (oidnTest.cpp:94-164)
+    for size in (32, 128, 64):
+        out, _ = run_filter(dev, size, size)
+        assert out.shape == (size, size, 3)
+        assert np.isfinite(out).all()
+
+
+def test_multiple_devices():
+    out1, _ = run_filter(make_device(), 33, 49)
+    out2, _ = run_filter(make_device(), 33, 49)
+    np.testing.assert_allclose(out1, out2)
+
+
+def test_filter_update_same_size_swap():
+    dev = make_device()
+    out, f = run_filter(dev, 48, 48)
+    f.set_image("color", make_const_image(48, 48, 0.9))
+    f.commit()
+    f.execute()
+    assert np.isfinite(out).all()
+
+
+def test_filter_resize_requires_matching_sizes():
+    dev = make_device()
+    out, f = run_filter(dev, 48, 48)
+    f.set_image("color", make_const_image(64, 64))  # mismatch vs output
+    with pytest.raises(OidnError):
+        f.commit()
+
+
+def test_filter_missing_output():
+    dev = make_device()
+    f = dev.new_filter("RT")
+    f.set_image("color", make_const_image(16, 16))
+    with pytest.raises(OidnError):
+        f.commit()
+
+
+def test_filter_remove_image():
+    dev = make_device()
+    out, f = run_filter(dev, 32, 32, albedo=True)
+    f.remove_image("albedo")  # falls back to color-only weights
+    f.commit()
+    f.execute()
+    assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 2), (1, 2), (3, 2), (2, 16)])
+def test_degenerate_sizes(h, w):
+    dev = make_device()
+    out, _ = run_filter(dev, h, w)
+    assert np.isfinite(out).all()
+
+
+def test_zero_size_noop():
+    dev = make_device()
+    f = dev.new_filter("RT")
+    f.set_image("color", np.zeros((0, 0, 3), np.float32))
+    f.set_image("output", np.zeros((0, 0, 3), np.float32))
+    f.commit()
+    f.execute()  # must not crash (oidnTest.cpp:276-320)
+
+
+@pytest.mark.parametrize("hdr", [False, True])
+def test_sanitization(hdr):
+    """NaN/Inf/negative inputs must produce finite output (oidnTest.cpp:324-374)."""
+    dev = make_device()
+    img = make_const_image(40, 40, 0.5)
+    img[5, 5] = np.nan
+    img[6, 6] = np.inf
+    img[7, 7] = -np.inf
+    img[8, 8] = -1.0
+    f = dev.new_filter("RT")
+    f.set_image("color", img)
+    alb = make_const_image(40, 40, 0.5)
+    alb[3, 3] = np.nan
+    f.set_image("albedo", alb)
+    out = np.full((40, 40, 3), np.nan, np.float32)
+    f.set_image("output", out)
+    f.set("hdr", hdr)
+    f.set("inputScale", 1.0)
+    f.commit()
+    f.execute()
+    assert np.isfinite(out).all()
+    assert (out >= 0).all()
+    if not hdr:
+        assert (out <= 1.0).all()
+
+
+def test_hdr_srgb_conflict():
+    dev = make_device()
+    f = dev.new_filter("RT")
+    f.set_image("color", make_const_image(16, 16))
+    f.set_image("output", np.zeros((16, 16, 3), np.float32))
+    f.set("hdr", True)
+    f.set("srgb", True)
+    with pytest.raises(OidnError, match="hdr and srgb"):
+        f.commit()
+
+
+def test_progress_monitor_and_cancel():
+    """Monotone [0,1] progress; cancel at ~0.5 raises CANCELLED
+    (oidnTest.cpp:378-458; multi-tile forced via maxMemoryMB=0)."""
+    dev = make_device()
+    seen = []
+
+    def monitor(p):
+        seen.append(p)
+        return True
+
+    f = dev.new_filter("RT")
+    n = 520  # > minimum tile size so maxMemoryMB=0 forces multiple tiles
+    f.set_image("color", make_const_image(n, n))
+    f.set_image("albedo", make_const_image(n, n))
+    out = np.zeros((n, n, 3), np.float32)
+    f.set_image("output", out)
+    f.set("maxMemoryMB", 0)
+    f.set_progress_monitor_function(monitor)
+    f.commit()
+    f.execute()
+    assert seen[0] == 0.0 and seen[-1] == 1.0
+    assert all(b >= a for a, b in zip(seen, seen[1:]))
+    assert len(seen) > 3  # actually tiled
+
+    # cancellation mid-run
+    calls = []
+
+    def canceller(p):
+        calls.append(p)
+        return p < 0.5
+
+    f.set_progress_monitor_function(canceller)
+    with pytest.raises(OidnError) as ei:
+        f.execute()
+    assert ei.value.code == OidnError.CANCELLED
+    err_code, _ = dev.get_error()
+    assert err_code == OidnError.CANCELLED
+
+
+def test_weight_selection_table():
+    dev = make_device()
+    f = dev.new_filter("RT")
+    h = w = 16
+    f.set_image("color", make_const_image(h, w))
+    f.set_image("output", np.zeros((h, w, 3), np.float32))
+    f.commit()
+    assert f._weights_name == "rt_ldr"
+    f.set_image("albedo", make_const_image(h, w))
+    f.commit()
+    assert f._weights_name == "rt_ldr_alb"
+    f.set_image("normal", make_const_image(h, w))
+    f.set("hdr", True)
+    f.commit()
+    assert f._weights_name == "rt_hdr_alb_nrm"
+    f.set("cleanAux", True)
+    f.commit()
+    assert f._weights_name == "rt_hdr_calb_cnrm"
+
+
+def test_albedo_only_hdr_rejected():
+    dev = make_device()
+    f = dev.new_filter("RT")
+    f.set_image("albedo", make_const_image(16, 16))
+    f.set_image("output", np.zeros((16, 16, 3), np.float32))
+    f.set("hdr", True)
+    with pytest.raises(OidnError, match="hdr mode is not supported"):
+        f.commit()
+
+
+def test_rtlightmap():
+    dev = make_device()
+    f = dev.new_filter("RTLightmap")
+    f.set_image("color", make_const_image(32, 32, 2.0))  # HDR values
+    out = np.zeros((32, 32, 3), np.float32)
+    f.set_image("output", out)
+    f.commit()
+    assert f._weights_name == "rtlightmap_hdr"
+    f.execute()
+    assert np.isfinite(out).all()
+    f.set("directional", True)
+    f.commit()
+    assert f._weights_name == "rtlightmap_dir"
+
+
+def test_unknown_filter_type():
+    dev = make_device()
+    with pytest.raises(OidnError):
+        dev.new_filter("Bogus")
