@@ -1,0 +1,142 @@
+"""Standalone denoise CLI — oidnDenoise equivalent (apps/oidnDenoise.cpp).
+
+Flag surface mirrors the reference (oidnDenoise.cpp:24-37):
+    --hdr / --ldr / --srgb / --dir, --alb FILE, --nrm FILE, --clean_aux,
+    --is SCALE, -w WEIGHTS.tza, --maxmem MB, --bench N, -r REF [-o OUT],
+    --threads / --affinity (accepted, no-ops on TPU), -v VERBOSE.
+Reference compare uses the reference thresholds: 1e-4 (f32) via --threshold.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU AI denoiser (oidnDenoise parity)")
+    p.add_argument("-f", "--filter", default="RT", choices=["RT", "RTLightmap"])
+    p.add_argument("--hdr", dest="color_hdr", metavar="FILE", help="HDR color image")
+    p.add_argument("--ldr", dest="color_ldr", metavar="FILE", help="LDR color image")
+    p.add_argument("--srgb", action="store_true")
+    p.add_argument("--dir", dest="directional", metavar="FILE",
+                   help="directional lightmap image (RTLightmap)")
+    p.add_argument("--alb", metavar="FILE", help="albedo image")
+    p.add_argument("--nrm", metavar="FILE", help="normal image")
+    p.add_argument("--clean_aux", action="store_true")
+    p.add_argument("--is", dest="input_scale", type=float, default=float("nan"))
+    p.add_argument("-w", "--weights", metavar="FILE", help="custom weights .tza")
+    p.add_argument("--maxmem", type=int, default=3000)
+    p.add_argument("-o", "--output", metavar="FILE")
+    p.add_argument("-r", "--ref", metavar="FILE", help="reference output to compare")
+    p.add_argument("--threshold", type=float, default=1e-4)
+    p.add_argument("--bench", type=int, default=0, metavar="N")
+    p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--affinity", type=int, default=1)
+    p.add_argument("-v", "--verbose", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from ..denoise import Device, OidnError
+    from ..utils.image_io import compare_images, load_image, save_image
+
+    color_path = args.color_hdr or args.color_ldr or args.directional
+    hdr = args.color_hdr is not None
+    directional = args.directional is not None
+
+    device = Device()
+    device.set("numThreads", args.threads)
+    device.set("setAffinity", bool(args.affinity))
+    device.set("verbose", args.verbose)
+    device.commit()
+
+    t0 = time.perf_counter()
+    f = device.new_filter(args.filter)
+
+    color = load_image(color_path) if color_path else None
+    shape = None
+    if color is not None:
+        f.set_image("color", color)
+        shape = color.shape
+    if args.alb:
+        alb = load_image(args.alb)
+        f.set_image("albedo", alb)
+        shape = shape or alb.shape
+    if args.nrm:
+        nrm = load_image(args.nrm)
+        f.set_image("normal", nrm)
+        shape = shape or nrm.shape
+    if shape is None:
+        print("error: no input image", file=sys.stderr)
+        return 1
+
+    output = np.zeros(shape, np.float32)
+    f.set_image("output", output)
+    if args.filter == "RT":
+        f.set("hdr", hdr)
+        f.set("srgb", args.srgb)
+        f.set("cleanAux", args.clean_aux)
+    else:
+        f.set("directional", directional)
+    f.set("maxMemoryMB", args.maxmem)
+    f.set("inputScale", args.input_scale)
+    if args.weights:
+        with open(args.weights, "rb") as fh:
+            f.set_data("weights", fh.read())
+
+    cancelled = {"flag": False}
+    signal.signal(signal.SIGINT, lambda *a: cancelled.update(flag=True))
+
+    def monitor(p):
+        print(f"\rDenoising {int(p * 100)}%", end="", flush=True)
+        return not cancelled["flag"]
+
+    f.set_progress_monitor_function(monitor)
+    try:
+        f.commit()
+    except OidnError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(f"  filter init: {1000 * (time.perf_counter() - t0):.1f} ms")
+    if f.using_random_weights:
+        print("warning: no trained weights found — using random init", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    try:
+        f.execute()
+    except OidnError as e:
+        print(f"\nerror: {e}", file=sys.stderr)
+        return 1
+    print(f"\n  denoise: {1000 * (time.perf_counter() - t0):.1f} ms")
+
+    if args.output:
+        save_image(args.output, output)
+
+    if args.ref:
+        ref = load_image(args.ref)
+        n_err, max_err = compare_images(output, ref, args.threshold)
+        print(f"  compare: {n_err} pixels differ, max rel error {max_err:.3e}")
+        if n_err:
+            if args.output:
+                save_image(args.output + ".debug.pfm", np.abs(output - ref))
+            return 2
+
+    if args.bench:
+        for _ in range(args.bench):
+            f.execute()
+        t0 = time.perf_counter()
+        for _ in range(args.bench):
+            f.execute()
+        ms = 1000 * (time.perf_counter() - t0) / args.bench
+        print(f"  bench: {ms:.2f} msec/image")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

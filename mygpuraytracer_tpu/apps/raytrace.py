@@ -1,0 +1,151 @@
+"""Headless render CLI — the oidnRayTracer app (apps/src/main.cpp) minus the
+Win32/OpenGL interactive preview (headless every-N-iteration PNG dumps stand
+in for the GL window; camera-reset semantics live on Renderer.move_camera).
+
+Usage:
+    python -m mygpuraytracer_tpu.apps.raytrace SCENEFILE.txt [options]
+
+Produces the same four outputs as saveImage (main.cpp:115-165):
+    <name>.<timestamp>.<N>samp.png    accumulated beauty / N
+    <name>.<timestamp>.<N>albedo.png  first-hit albedo AOV
+    <name>.<timestamp>.<N>output.png  denoised beauty
+    <name>.<timestamp>.<N>input.png   denoiser input (normalized beauty)
+with the reference's horizontal mirror (img.setPixel(width-1-x, ...)).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU path tracer")
+    p.add_argument("scene", help="scene .txt file or builtin name (cornell, sphere, ...)")
+    p.add_argument("--iterations", type=int, default=None, help="override scene ITERATIONS")
+    p.add_argument("--depth", type=int, default=None, help="override trace depth")
+    p.add_argument("--resolution", type=int, nargs=2, default=None, metavar=("W", "H"))
+    p.add_argument("--out-dir", default=".", help="output directory")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch", type=int, default=16, help="iterations per device dispatch")
+    p.add_argument("--no-denoise", action="store_true", help="disable the AI denoiser")
+    p.add_argument("--no-antialias", action="store_true")
+    p.add_argument("--depth-of-field", action="store_true")
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="dump a preview PNG every N iterations (headless 'window')")
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def load_any_scene(name: str):
+    from ..scene import load_scene
+    from ..scene.builtin import BUILTIN_SCENES
+
+    if os.path.exists(name):
+        return load_scene(name)
+    if name in BUILTIN_SCENES:
+        return BUILTIN_SCENES[name]()
+    raise FileNotFoundError(f"scene '{name}' not found (file or builtin)")
+
+
+def mirror_x(img: np.ndarray) -> np.ndarray:
+    """saveImage writes pixel (width-1-x, y) (main.cpp:126)."""
+    return np.ascontiguousarray(img[:, ::-1])
+
+
+def denoise_beauty(beauty: np.ndarray, albedo: np.ndarray, verbose=True):
+    """CPUdenoise equivalent (main.cpp:167-218): RT filter, LDR,
+    color+albedo; returns (output, timings dict)."""
+    from ..denoise import Device
+
+    timings = {}
+    t0 = time.perf_counter()
+    device = Device()
+    device.commit()
+    timings["device_init_ms"] = (time.perf_counter() - t0) * 1000
+
+    t0 = time.perf_counter()
+    f = device.new_filter("RT")
+    f.set_image("color", beauty.astype(np.float32))
+    f.set_image("albedo", albedo.astype(np.float32))
+    output = np.zeros_like(beauty, np.float32)
+    f.set_image("output", output)
+    f.commit()
+    timings["filter_init_ms"] = (time.perf_counter() - t0) * 1000
+
+    t0 = time.perf_counter()
+    f.execute()
+    timings["denoise_ms"] = (time.perf_counter() - t0) * 1000
+    timings["random_weights"] = f.using_random_weights
+    return output, timings
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from ..config import RenderOptions
+    from ..render import Renderer
+    from ..utils.png import write_png
+
+    scene = load_any_scene(args.scene)
+    if args.resolution:
+        scene.set_resolution(*args.resolution)
+    if args.depth:
+        scene.state.trace_depth = args.depth
+    iterations = args.iterations if args.iterations is not None else scene.state.iterations
+
+    options = RenderOptions(
+        antialiasing=not args.no_antialias,
+        depth_of_field=args.depth_of_field,
+        ai_denoise=not args.no_denoise,
+    )
+    log = (lambda *a: None) if args.quiet else print
+
+    log(f"Loaded scene: {scene.state.image_name} "
+        f"{scene.state.camera.resolution[0]}x{scene.state.camera.resolution[1]}, "
+        f"{len(scene.geoms)} geoms, {len(scene.materials)} materials")
+    r = Renderer(scene, options, seed=args.seed)
+
+    start_str = time.strftime("%Y-%m-%d_%H-%M-%S")
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    t0 = time.perf_counter()
+    done = 0
+    while done < iterations:
+        n = min(args.batch, iterations - done)
+        r.step_many(n)
+        done += n
+        if args.preview_every and done % args.preview_every < n:
+            write_png(
+                os.path.join(args.out_dir, f"{scene.state.image_name}.preview.png"),
+                mirror_x(r.beauty()),
+            )
+        if not args.quiet:
+            print(f"\rIteration {done}/{iterations}", end="", flush=True)
+    beauty = r.beauty()  # forces sync
+    render_s = time.perf_counter() - t0
+    log(f"\ntime: {render_s:.3f}s "
+        f"({done / render_s:.1f} iters/s, "
+        f"{np.prod(beauty.shape[:2]) * done / render_s / 1e6:.1f} Msamples/s)")
+
+    albedo = r.albedo_image()
+    prefix = os.path.join(args.out_dir, f"{scene.state.image_name}.{start_str}.{done}")
+    write_png(f"{prefix}samp.png", mirror_x(beauty))
+    write_png(f"{prefix}albedo.png", mirror_x(albedo))
+    write_png(f"{prefix}input.png", mirror_x(beauty))
+
+    if options.ai_denoise:
+        output, tm = denoise_beauty(beauty, albedo, verbose=not args.quiet)
+        log(f"Denoise: device={tm['device_init_ms']:.1f}ms "
+            f"filter={tm['filter_init_ms']:.1f}ms exec={tm['denoise_ms']:.1f}ms"
+            + (" [RANDOM WEIGHTS — provide real .tza for quality]" if tm["random_weights"] else ""))
+        write_png(f"{prefix}output.png", mirror_x(output))
+    log(f"Saved outputs: {prefix}*.png")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,6 +100,8 @@ _DIMSPEC = lax.ConvDimensionNumbers(
 
 
 def _conv_relu(x, p, relu: bool = True):
+    # Same-dtype conv: the TPU conv unit accumulates bf16 inputs in f32
+    # internally, and a uniform dtype keeps the VJP transposable.
     w = p["w"].astype(x.dtype)
     y = lax.conv_general_dilated(
         x,
@@ -107,19 +109,20 @@ def _conv_relu(x, p, relu: bool = True):
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    y = y + p["b"].astype(jnp.float32)
+    y = y + p["b"].astype(x.dtype)
     if relu:
-        y = jnp.maximum(y, 0.0)
-    return y.astype(x.dtype)
+        y = jnp.maximum(y, jnp.zeros((), x.dtype))
+    return y
 
 
 def _pool(x):
-    """2x2 max pool stride 2 (model.py:33-34, core/pool.h)."""
+    """2x2 max pool stride 2 (model.py:33-34, core/pool.h).
+
+    init must be -inf (not finfo.min) so XLA pattern-matches the
+    differentiable reduce-window-max."""
     return lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     )
 
 
