@@ -40,6 +40,10 @@ class RenderOptions:
     # Compute dtype for the trace core. float32 is the reference-parity
     # default; bfloat16 halves HBM traffic at a small quality cost.
     dtype: str = "float32"
+    # RNG backend: 'threefry' (counter-based, reference-grade, reproducible
+    # across platforms), 'pallas' (TPU hardware PRNG, faster), or 'auto'
+    # (pallas on TPU, threefry on CPU).
+    rng: str = "threefry"
 
     @property
     def first_bounce_cache_active(self) -> bool:

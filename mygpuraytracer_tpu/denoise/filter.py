@@ -269,7 +269,9 @@ class Filter:
         Hp = round_up(h, UNET_ALIGNMENT)
         Wp = round_up(w, UNET_ALIGNMENT)
         budget_px = (max_mb * (1 << 20)) // _BYTES_PER_PIXEL if max_mb > 0 else 0
-        min_tile = 2 * OVERLAP + UNET_ALIGNMENT
+        # Minimum tile: overlap halo on both sides plus a useful output core
+        # (128 px), so forced tiling (maxMemoryMB=0) still makes progress.
+        min_tile = 2 * OVERLAP + 8 * UNET_ALIGNMENT
 
         tile_h, tile_w = Hp, Wp
         if budget_px <= 0 or Hp * Wp > budget_px:

@@ -32,6 +32,7 @@ from jax import lax
 
 from ..config import RenderOptions
 from ..ops import rng
+from ..ops.prng import iteration_uniforms
 from ..ops.trace import HitSoA, intersect_soa
 from ..ops.vec3 import Vec3
 from ..scene.device_scene import DeviceScene, SceneMeta
@@ -92,7 +93,7 @@ def render_sample(
     n = width * height
     trace_depth = meta.trace_depth
     ikey = rng.iteration_key(base_key, iteration)
-    U = jax.random.uniform(ikey, (num_rng_streams(trace_depth), n), dtype=jnp.float32)
+    U = iteration_uniforms(options, ikey, iteration, num_rng_streams(trace_depth), n)
 
     o, d = generate_camera_rays(dev.camera, meta.resolution, options, U)
     ones = jnp.ones((n,), jnp.float32)

@@ -197,11 +197,15 @@ def build_device_scene(
     aabb_min = np.zeros((G, 3), np.float32)
     aabb_max = np.zeros((G, 3), np.float32)
     cursor = 0
+    from .structs import FaceArray
+
     for gi, (g, faces) in enumerate(zip(geoms, scene.all_faces)):
         start = cursor
-        if faces:
-            local = np.stack([f.positions for f in faces])  # [f,3,3]
-            uvs = np.stack([f.uvs for f in faces])  # [f,3,2]
+        if len(faces):
+            if not isinstance(faces, FaceArray):
+                faces = FaceArray.from_faces(list(faces))
+            local = faces.positions  # [f,3,3]
+            uvs = faces.uvs  # [f,3,2]
             hom = np.concatenate(
                 [local, np.ones((*local.shape[:2], 1), np.float32)], axis=-1
             )  # [f,3,4]

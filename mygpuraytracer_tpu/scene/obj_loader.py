@@ -7,6 +7,10 @@ material of the .mtl (the reference assumes one material per model,
 scene.cpp:68,134) with its kd/ks/ke/bump texture maps, and synthesizes a
 scene Material from it (scene.cpp:220-232).
 
+Geometry parsing prefers the native C++ loader (native/objload.cpp via
+ctypes) when built — it also Morton-orders triangles for chunk-coherent
+streaming — and falls back to the pure-Python parser otherwise.
+
 Deviation from the reference (documented): scene.cpp:60-65 initializes
 ``maxX``/``minZ``/``maxZ`` with the wrong FLT_MAX/FLT_MIN sentinels, producing
 a broken AABB (harmless there because BOUNDING_BOX is compiled out). We
@@ -20,7 +24,8 @@ import os
 
 import numpy as np
 
-from .structs import Face, Material, Texture
+from .native_loader import native_parse_obj
+from .structs import FaceArray, Material, Texture
 from ..utils.png import load_texture
 
 
@@ -79,17 +84,16 @@ def _resolve_index(idx: int, count: int) -> int:
 
 
 def _parse_face_vertex(token: str):
-    """Parse 'v', 'v/vt', 'v//vn', or 'v/vt/vn' into (v, vt, vn) 1-based or None."""
+    """Parse 'v', 'v/vt', 'v//vn', or 'v/vt/vn' into (v, vt) 1-based or None."""
     parts = token.split("/")
     v = int(parts[0])
     vt = int(parts[1]) if len(parts) > 1 and parts[1] else None
-    vn = int(parts[2]) if len(parts) > 2 and parts[2] else None
-    return v, vt, vn
+    return v, vt
 
 
 @dataclasses.dataclass
 class ObjModel:
-    faces: list[Face]
+    faces: FaceArray
     min_pos: np.ndarray
     max_pos: np.ndarray
     material: MtlMaterial
@@ -116,19 +120,22 @@ def _load_tex(name: str, search_dirs: list[str]) -> Texture:
     return Texture()
 
 
-def load_obj(path: str, mtl_search_path: str | None = None) -> ObjModel:
-    """Parse an OBJ file into triangles + first-material textures.
+def _scan_mtllibs(path: str) -> list[str]:
+    """Cheap scan for mtllib lines (geometry handled natively)."""
+    libs = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("mtllib"):
+                libs.append(line.split(None, 1)[1].strip())
+    return libs
 
-    ``mtl_search_path`` mirrors reader_config.mtl_search_path
-    ('../models/materials', scene.cpp:41); we additionally search next to the
-    OBJ itself and in a sibling ``textures/`` directory so reference assets
-    resolve from any CWD.
-    """
+
+def _python_parse_geometry(path: str):
+    """Pure-Python fallback: returns (tri_pos [n,3,3], tri_uv [n,3,2], mn, mx)."""
     positions: list[tuple] = []
-    normals: list[tuple] = []
     texcoords: list[tuple] = []
-    face_tuples: list[list[tuple]] = []
-    mtl_files: list[str] = []
+    tri_v: list[tuple] = []
+    tri_vt: list[tuple] = []
 
     with open(path, "r", errors="replace") as f:
         for line in f:
@@ -138,17 +145,46 @@ def load_obj(path: str, mtl_search_path: str | None = None) -> ObjModel:
             key = tokens[0]
             if key == "v":
                 positions.append(tuple(float(x) for x in tokens[1:4]))
-            elif key == "vn":
-                normals.append(tuple(float(x) for x in tokens[1:4]))
             elif key == "vt":
                 texcoords.append(tuple(float(x) for x in tokens[1:3]))
-            elif key == "mtllib":
-                mtl_files.append(" ".join(tokens[1:]))
             elif key == "f":
                 verts = [_parse_face_vertex(t) for t in tokens[1:]]
-                # Fan triangulation, like tinyobj's triangulate=true default.
-                for i in range(1, len(verts) - 1):
-                    face_tuples.append([verts[0], verts[i], verts[i + 1]])
+                for i in range(1, len(verts) - 1):  # fan triangulation
+                    tri_v.append((verts[0][0], verts[i][0], verts[i + 1][0]))
+                    tri_vt.append((verts[0][1], verts[i][1], verts[i + 1][1]))
+
+    np_pos = np.asarray(positions, dtype=np.float32).reshape(-1, 3)
+    np_uv = np.asarray(texcoords, dtype=np.float32).reshape(-1, 2)
+    n = len(tri_v)
+    pos = np.zeros((n, 3, 3), np.float32)
+    uv = np.zeros((n, 3, 2), np.float32)
+    for t, (vs, vts) in enumerate(zip(tri_v, tri_vt)):
+        for k in range(3):
+            pos[t, k] = np_pos[_resolve_index(vs[k], len(np_pos))]
+            if vts[k] is not None and len(np_uv):
+                uv[t, k] = np_uv[_resolve_index(vts[k], len(np_uv))]
+    if n:
+        flat = pos.reshape(-1, 3)
+        mn, mx = flat.min(axis=0), flat.max(axis=0)
+    else:
+        mn = mx = np.zeros(3, np.float32)
+    return pos, uv, mn.astype(np.float32), mx.astype(np.float32)
+
+
+def load_obj(path: str, mtl_search_path: str | None = None) -> ObjModel:
+    """Parse an OBJ file into triangles + first-material textures.
+
+    ``mtl_search_path`` mirrors reader_config.mtl_search_path
+    ('../models/materials', scene.cpp:41); we additionally search next to the
+    OBJ itself and in a sibling ``textures/`` directory so reference assets
+    resolve from any CWD.
+    """
+    native = native_parse_obj(path)
+    if native is not None:
+        pos, uv, mn, mx = native
+    else:
+        pos, uv, mn, mx = _python_parse_geometry(path)
+    faces = FaceArray(positions=pos, uvs=uv)
 
     obj_dir = os.path.dirname(os.path.abspath(path))
     search_dirs = [obj_dir]
@@ -161,7 +197,7 @@ def load_obj(path: str, mtl_search_path: str | None = None) -> ObjModel:
     ]
 
     material = MtlMaterial()
-    for mtl_name in mtl_files:
+    for mtl_name in _scan_mtllibs(path):
         for d in search_dirs:
             cand = os.path.join(d, os.path.basename(mtl_name))
             if os.path.isfile(cand):
@@ -174,40 +210,15 @@ def load_obj(path: str, mtl_search_path: str | None = None) -> ObjModel:
             continue
         break
 
-    faces: list[Face] = []
-    mn = np.full(3, np.inf)
-    mx = np.full(3, -np.inf)
-    np_pos = np.asarray(positions, dtype=np.float32).reshape(-1, 3)
-    np_nrm = np.asarray(normals, dtype=np.float32).reshape(-1, 3)
-    np_uv = np.asarray(texcoords, dtype=np.float32).reshape(-1, 2)
-    for tri in face_tuples:
-        p = np.zeros((3, 3), np.float32)
-        n = np.zeros((3, 3), np.float32)
-        uv = np.zeros((3, 2), np.float32)
-        for k, (vi, vti, vni) in enumerate(tri):
-            p[k] = np_pos[_resolve_index(vi, len(np_pos))]
-            if vti is not None and len(np_uv):
-                uv[k] = np_uv[_resolve_index(vti, len(np_uv))]
-            if vni is not None and len(np_nrm):
-                n[k] = np_nrm[_resolve_index(vni, len(np_nrm))]
-        faces.append(Face(positions=p, uvs=uv, normals=n))
-        mn = np.minimum(mn, p.min(axis=0))
-        mx = np.maximum(mx, p.max(axis=0))
-
-    if not faces:
-        mn = np.zeros(3)
-        mx = np.zeros(3)
-
-    tex_dirs = search_dirs
     return ObjModel(
         faces=faces,
-        min_pos=mn.astype(np.float32),
-        max_pos=mx.astype(np.float32),
+        min_pos=mn,
+        max_pos=mx,
         material=material,
-        kd=_load_tex(material.diffuse_texname, tex_dirs),
-        ks=_load_tex(material.specular_texname, tex_dirs),
-        ke=_load_tex(material.emissive_texname, tex_dirs),
-        bump=_load_tex(material.bump_texname, tex_dirs),
+        kd=_load_tex(material.diffuse_texname, search_dirs),
+        ks=_load_tex(material.specular_texname, search_dirs),
+        ke=_load_tex(material.emissive_texname, search_dirs),
+        bump=_load_tex(material.bump_texname, search_dirs),
     )
 
 

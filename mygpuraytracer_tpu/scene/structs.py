@@ -65,6 +65,48 @@ class Face:
 
 
 @dataclasses.dataclass
+class FaceArray:
+    """A whole mesh's faces as arrays — the SoA form of list[Face].
+
+    The reference keeps std::vector<Face> per geom (scene.h allFaces); array
+    form scales to large meshes and feeds build_device_scene without
+    restacking. Indexing yields Face views for API parity.
+    """
+
+    positions: np.ndarray  # [F,3,3]
+    uvs: np.ndarray  # [F,3,2]
+
+    def __len__(self) -> int:
+        return self.positions.shape[0]
+
+    def __getitem__(self, i: int) -> Face:
+        return Face(
+            positions=self.positions[i],
+            uvs=self.uvs[i],
+            normals=np.zeros((3, 3), np.float32),
+        )
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+    @staticmethod
+    def empty() -> "FaceArray":
+        return FaceArray(
+            positions=np.zeros((0, 3, 3), np.float32),
+            uvs=np.zeros((0, 3, 2), np.float32),
+        )
+
+    @staticmethod
+    def from_faces(faces: list) -> "FaceArray":
+        if not faces:
+            return FaceArray.empty()
+        return FaceArray(
+            positions=np.stack([f.positions for f in faces]).astype(np.float32),
+            uvs=np.stack([f.uvs for f in faces]).astype(np.float32),
+        )
+
+
+@dataclasses.dataclass
 class Geom:
     """sceneStructs.h:50-70 (device pointers replaced by indices)."""
 
