@@ -32,8 +32,13 @@ def _uniform_kernel(seed_ref, out_ref):
     # 0x9E3779B1 as a signed 32-bit constant (golden-ratio odd multiplier)
     mult = jnp.int32(np.int32(np.uint32(0x9E3779B1)))
     pltpu.prng_seed(seed_ref[0] * mult + pid)
-    bits = pltpu.prng_random_bits(out_ref.shape)  # uint32
-    out_ref[:, :] = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # prng_random_bits may come back as signed int32: bitcast to uint32 BEFORE
+    # shifting, or the sign bit arithmetic-shifts into the mantissa.
+    bits = pltpu.bitcast(pltpu.prng_random_bits(out_ref.shape), jnp.uint32)
+    # Mosaic has no uint32->f32 cast; after >>8 the value fits in int31,
+    # so bitcast to int32 first.
+    mant = pltpu.bitcast(bits >> 8, jnp.int32)
+    out_ref[:, :] = mant.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n", "interpret"))

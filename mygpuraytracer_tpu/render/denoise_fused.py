@@ -1,0 +1,68 @@
+"""On-device render->denoise fusion.
+
+The reference's #1 architectural bottleneck: every frame it copies the
+accumulated image GPU->host (pathtrace.cu:663-669), denoises on the CPU
+(main.cpp:167-218), and uploads the result back (pathtrace.cu:673-685).
+Here normalization, input packing (sRGB transfer + sanitize), the U-Net, and
+output unpacking run in ONE device program straight off the accumulator —
+AOVs never leave HBM.
+
+Semantics = the app's CPUdenoise: RT filter, LDR color (beauty/iteration) +
+albedo auxiliary (main.cpp:193-203 -> rt_ldr_alb weights).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..denoise import color as color_mod
+from ..denoise import weights as weights_mod
+from ..denoise.unet import UNET_ALIGNMENT, round_up, unet_apply
+from ..ops.vec3 import Vec3
+
+
+@functools.partial(jax.jit, static_argnames=("resolution",))
+def denoise_accumulator(
+    image: Vec3, albedo: Vec3, iteration, params, resolution: tuple[int, int]
+):
+    """Normalize + pack + U-Net + unpack, fully on device.
+
+    image/albedo: flat [N] Vec3 accumulators; iteration: i32 scalar.
+    Returns [H, W, 3] denoised output (LDR, clamped).
+    """
+    w, h = resolution
+    hp, wp = round_up(h, UNET_ALIGNMENT), round_up(w, UNET_ALIGNMENT)
+    inv_iter = 1.0 / jnp.maximum(iteration.astype(jnp.float32), 1.0)
+
+    def plane(v: Vec3, scale):
+        img = jnp.stack(
+            [v.x.reshape(h, w), v.y.reshape(h, w), v.z.reshape(h, w)], axis=-1
+        ) * scale
+        return jnp.zeros((hp, wp, 3), jnp.float32).at[:h, :w].set(img)
+
+    color = plane(image, inv_iter)
+    alb = plane(albedo, 1.0)
+
+    # input_reorder.ispc semantics (LDR): sanitize to [0,1], sRGB forward;
+    # albedo clamped only.
+    tf = color_mod.SRGBTransfer()
+    color = tf.forward(color_mod.sanitize(color, 0.0, 1.0))
+    alb = color_mod.sanitize(alb, 0.0, 1.0)
+
+    x = jnp.concatenate([color, alb], axis=-1)
+    y = unet_apply(params, x[None])[0]
+
+    # output_reorder.ispc: sanitize, inverse transfer, LDR clamp.
+    y = color_mod.sanitize(y, 0.0, jnp.inf)
+    y = jnp.minimum(tf.inverse(y), 1.0)
+    return y[:h, :w]
+
+
+def load_denoiser_params(name: str = "rt_ldr_alb"):
+    """Returns (params, using_random_weights)."""
+    return weights_mod.load_default_params(name)

@@ -160,6 +160,28 @@ class Renderer:
         self.timer.end(sync=self.image.x)
         return self.beauty()
 
+    def render_denoised(
+        self, iterations: int | None = None, batch: int = 16
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Render then denoise fully on-device (no host round trip).
+
+        Returns (denoised HxWx3, beauty HxWx3). Equivalent of the app loop's
+        pathtrace + CPUdenoise, minus the reference's per-frame
+        GPU->CPU->GPU copies.
+        """
+        from .denoise_fused import denoise_accumulator, load_denoiser_params
+
+        self.render(iterations=iterations, batch=batch)
+        params, self.denoiser_random_weights = load_denoiser_params("rt_ldr_alb")
+        out = denoise_accumulator(
+            self.image,
+            self.albedo,
+            jnp.int32(self.iteration),
+            params,
+            self.meta.resolution,
+        )
+        return np.asarray(out), self.beauty()
+
     # -- outputs ----------------------------------------------------------------
     def _to_hw3(self, flat: Vec3) -> np.ndarray:
         w, h = self.meta.resolution
