@@ -1,0 +1,67 @@
+"""Golden-image regression tests.
+
+The reference's analog is scripts/test.py baseline/run (render with a pinned
+model, compare with compare_image.py). Goldens are CPU renders committed in
+tests/golden/; threefry RNG streams are platform-independent, so any drift
+means a semantic change in the trace core.
+"""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+from mygpuraytracer_tpu.config import RenderOptions
+from mygpuraytracer_tpu.render import Renderer
+from mygpuraytracer_tpu.scene.builtin import cornell_box, cornell_glass
+from mygpuraytracer_tpu.train.infer import rmse
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.mark.parametrize(
+    "name,maker",
+    [("cornell_64_32spp", cornell_box), ("cornellGlass_64_32spp", cornell_glass)],
+)
+def test_golden_render(name, maker):
+    path = GOLDEN / f"{name}.npy"
+    if not path.exists():
+        pytest.skip("golden missing")
+    golden = np.load(path)
+    scene = maker(resolution=(64, 64))
+    r = Renderer(scene, RenderOptions(), seed=0)
+    r.render(iterations=32, batch=8)
+    img = r.beauty()
+    err = rmse(img, golden)
+    # identical RNG streams: only float reassociation differs across builds
+    assert err < 1e-3, f"golden drift: rmse={err}"
+
+
+def test_scene_writer_roundtrip(tmp_path):
+    from mygpuraytracer_tpu.scene import load_scene
+    from mygpuraytracer_tpu.scene.writer import save_scene
+
+    s = cornell_box()
+    path = str(tmp_path / "cornell.txt")
+    save_scene(s, path)
+    back = load_scene(path)
+    assert len(back.geoms) == len(s.geoms)
+    assert len(back.materials) == len(s.materials)
+    np.testing.assert_allclose(
+        back.geoms[0].transform, s.geoms[0].transform, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        back.state.camera.pixel_length, s.state.camera.pixel_length, rtol=1e-6
+    )
+
+
+def test_bundled_scenes_parse():
+    from mygpuraytracer_tpu.scene import load_scene
+
+    scenes_dir = pathlib.Path(__file__).parent.parent / "scenes"
+    found = list(scenes_dir.glob("*.txt"))
+    assert found, "bundled scenes missing"
+    for f in found:
+        s = load_scene(str(f))
+        assert s.geoms and s.materials
