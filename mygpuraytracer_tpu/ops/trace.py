@@ -129,12 +129,13 @@ def sphere_intersect_soa(g, o: Vec3, d: Vec3):
     return jnp.where(hit, t, jnp.inf), n
 
 
-def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int):
+def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int, with_bump: bool = False):
     """Nearest world-space triangle via chunked Moller-Trumbore.
 
-    Returns (t [N], normal Vec3 (unnormalized cross), u, v, geom_id [N]).
-    Attributes come from a first-match one-hot reduction over each chunk —
-    no gathers anywhere.
+    Returns (t [N], normal Vec3 (unnormalized cross), u, v, geom_id [N],
+    bump_extras). Attributes come from a first-match one-hot reduction over
+    each chunk — no gathers anywhere. When ``with_bump`` the winner's world
+    e1/e2 and uv deltas are carried too (TBN inputs, intersections.h:245-279).
     """
     F = dev.face_cols[0].shape[0]
     n = o.x.shape[0]
@@ -143,9 +144,12 @@ def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int):
         chunk //= 2
     n_chunks = F // chunk
     v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = dev.face_cols
+    uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = dev.face_uv_cols
+
+    n_extra = 10  # e1(3) + e2(3) + duv1(2) + duv2(2)
 
     def body(carry, ci):
-        bt, bnx, bny, bnz, bu, bv, bgid = carry
+        bt, bnx, bny, bnz, bu, bv, bgid, bex = carry
         s = ci * chunk
         sl = lambda a: lax.dynamic_slice_in_dim(a, s, chunk)
         f_v0x, f_v0y, f_v0z = sl(v0x), sl(v0y), sl(v0z)
@@ -191,11 +195,24 @@ def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int):
         cnx = jnp.sum(oh * fnx, axis=1)
         cny = jnp.sum(oh * fny, axis=1)
         cnz = jnp.sum(oh * fnz, axis=1)
-        cu = jnp.sum(oh * u, axis=1)
-        cv = jnp.sum(oh * vv, axis=1)
+        # interpolated texcoord (intersections.h:226): w*uv0 + u*uv1 + v*uv2
+        ww = 1.0 - u - vv
+        tex_u = ww * sl(uv0u) + u * sl(uv1u) + vv * sl(uv2u)
+        tex_v = ww * sl(uv0v) + u * sl(uv1v) + vv * sl(uv2v)
+        cu = jnp.sum(oh * tex_u, axis=1)
+        cv = jnp.sum(oh * tex_v, axis=1)
         cgid = jnp.sum(oh * f_gid.astype(t.dtype), axis=1)
 
         better = tc < bt
+        if with_bump:
+            f_uv0u, f_uv0v = sl(uv0u), sl(uv0v)
+            extras_c = [
+                f_e1x, f_e1y, f_e1z, f_e2x, f_e2y, f_e2z,
+                sl(uv1u) - f_uv0u, sl(uv1v) - f_uv0v,
+                sl(uv2u) - f_uv0u, sl(uv2v) - f_uv0v,
+            ]
+            cex = [jnp.sum(oh * e, axis=1) for e in extras_c]
+            bex = tuple(jnp.where(better, c, b) for c, b in zip(cex, bex))
         return (
             jnp.where(better, tc, bt),
             jnp.where(better, cnx, bnx),
@@ -204,14 +221,19 @@ def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int):
             jnp.where(better, cu, bu),
             jnp.where(better, cv, bv),
             jnp.where(better, cgid, bgid),
+            bex,
         ), None
 
     zeros = jnp.zeros((n,), jnp.float32)
-    init = (jnp.full((n,), jnp.inf, jnp.float32), zeros, zeros, zeros, zeros, zeros, zeros)
-    (bt, bnx, bny, bnz, bu, bv, bgid), _ = lax.scan(
+    extras0 = tuple(jnp.zeros((n,), jnp.float32) for _ in range(n_extra)) if with_bump else ()
+    init = (
+        jnp.full((n,), jnp.inf, jnp.float32),
+        zeros, zeros, zeros, zeros, zeros, zeros, extras0,
+    )
+    (bt, bnx, bny, bnz, bu, bv, bgid, bex), _ = lax.scan(
         body, init, jnp.arange(n_chunks)
     )
-    return bt, Vec3(bnx, bny, bnz), bu, bv, bgid
+    return bt, Vec3(bnx, bny, bnz), bu, bv, bgid, bex
 
 
 def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
@@ -274,10 +296,14 @@ def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
 
     # ---- meshes ------------------------------------------------------------
     if meta.has_obj:
-        mt, mn, mu, mv, mgid = mesh_intersect_soa(meta, dev, o, d, face_chunk)
+        with_bump = any(g.bump > 0 for g in meta.geoms)
+        mt, mn, mu, mv, mgid, bex = mesh_intersect_soa(
+            meta, dev, o, d, face_chunk, with_bump=with_bump
+        )
         better = mt < t_best
         t_best = jnp.where(better, mt, t_best)
-        normal = v3.where(better, v3.normalize(mn), normal)
+        mesh_nrm = v3.normalize(mn)
+        normal = v3.where(better, mesh_nrm, normal)
         is_obj = jnp.where(better, True, is_obj)
         uu = jnp.where(better, mu, uu)
         vv = jnp.where(better, mv, vv)
@@ -288,6 +314,36 @@ def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
             (col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump) = set_mat(
                 sel, g, col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump
             )
+
+        if with_bump:
+            # TBN bump perturbation (intersections.h:245-279) from the
+            # carried winner e1/e2 + uv deltas; e1/e2 are world-space so
+            # tangents need no extra transform.
+            e1 = Vec3(bex[0], bex[1], bex[2])
+            e2 = Vec3(bex[3], bex[4], bex[5])
+            duv1u, duv1v, duv2u, duv2v = bex[6], bex[7], bex[8], bex[9]
+            denom = duv1u * duv2v - duv2u * duv1v
+            f = 1.0 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            tangent = v3.normalize(
+                Vec3(f * (duv2v * e1.x - duv1v * e2.x),
+                     f * (duv2v * e1.y - duv1v * e2.y),
+                     f * (duv2v * e1.z - duv1v * e2.z))
+            )
+            bitangent = v3.normalize(
+                Vec3(f * (-duv2u * e1.x + duv1u * e2.x),
+                     f * (-duv2u * e1.y + duv1u * e2.y),
+                     f * (-duv2u * e1.z + duv1u * e2.z))
+            )
+            texel, present = fetch_texel_soa(dev, bump, uu, vv)
+            tsn = v3.normalize(v3.normalize(texel) * 2.0 - 1.0)
+            bumped = v3.normalize(
+                Vec3(
+                    tsn.x * tangent.x + tsn.y * bitangent.x + tsn.z * mesh_nrm.x,
+                    tsn.x * tangent.y + tsn.y * bitangent.y + tsn.z * mesh_nrm.y,
+                    tsn.x * tangent.z + tsn.y * bitangent.z + tsn.z * mesh_nrm.z,
+                )
+            )
+            normal = v3.where(better & present, bumped, normal)
 
     hit = jnp.isfinite(t_best)
     return HitSoA(
