@@ -31,7 +31,12 @@ def main() -> None:
     else:
         scene = cornell_box()
 
-    r = Renderer(scene, RenderOptions(), seed=0)
+    import jax
+
+    on_tpu = jax.default_backend() != "cpu"
+    # The Pallas megakernel (one kernel per MC iteration) is TPU-only;
+    # mesh/textured scenes fall back to the wavefront path automatically.
+    r = Renderer(scene, RenderOptions(megakernel=on_tpu), seed=0)
 
     def sync():
         np.asarray(r.image.x[:8])

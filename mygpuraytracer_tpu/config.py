@@ -44,6 +44,11 @@ class RenderOptions:
     # across platforms), 'pallas' (TPU hardware PRNG, faster), or 'auto'
     # (pallas on TPU, threefry on CPU).
     rng: str = "threefry"
+    # Run the whole iteration as ONE Pallas kernel (rays resident in VMEM,
+    # hardware PRNG, zero inter-bounce HBM traffic). TPU-only; applies to
+    # primitive-only scenes without the first-bounce cache — other scenes
+    # fall back to the wavefront path automatically.
+    megakernel: bool = False
 
     @property
     def first_bounce_cache_active(self) -> bool:

@@ -82,9 +82,11 @@ def box_intersect_soa(g, o: Vec3, d: Vec3):
     inside = tmin <= 0
     t_loc = jnp.where(inside, tmax, tmin)
 
-    # axis that set t_loc, priority x > y > z (argmax/argmin first-match)
-    ux = jnp.where(inside, tbx == tmax, tax == tmin)
-    uy = ~ux & jnp.where(inside, tby == tmax, tay == tmin)
+    # axis that set t_loc, priority x > y > z (argmax/argmin first-match).
+    # Written as logical ops, not where-on-bools: Mosaic cannot lower a
+    # select over i1 vectors.
+    ux = (inside & (tbx == tmax)) | (~inside & (tax == tmin))
+    uy = ~ux & ((inside & (tby == tmax)) | (~inside & (tay == tmin)))
     uz = ~ux & ~uy
     ln = Vec3(
         jnp.where(ux, sx, 0.0), jnp.where(uy, sy, 0.0), jnp.where(uz, sz, 0.0)
@@ -236,14 +238,18 @@ def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int, with_bump: bool 
     return bt, Vec3(bnx, bny, bnz), bu, bv, bgid, bex
 
 
-def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
-    """Nearest hit over the whole scene with materials resolved in-loop."""
-    n = o.x.shape[0]
-    f32 = jnp.float32
-    zeros = jnp.zeros((n,), f32)
-    izeros = jnp.zeros((n,), jnp.int32)
+def intersect_primitives_soa(meta, o: Vec3, d: Vec3):
+    """Statically-unrolled primitive (cube/sphere) intersection with material
+    resolution. Shape-agnostic (works on [N] wavefronts and on 2D VMEM tiles
+    inside Pallas kernels — the megakernel reuses this directly).
 
-    t_best = jnp.full((n,), jnp.inf, f32)
+    Returns the mutable field tuple used by intersect_soa's mesh merge.
+    """
+    f32 = jnp.float32
+    zeros = jnp.zeros_like(o.x)
+    izeros = jnp.zeros(o.x.shape, jnp.int32)
+
+    t_best = jnp.full(o.x.shape, jnp.inf, f32)
     normal = Vec3(zeros, zeros, zeros)
     col = Vec3(zeros, zeros, zeros)
     spec = Vec3(zeros, zeros, zeros)
@@ -253,7 +259,7 @@ def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
     ior = zeros
     emit = zeros
     mat_id = izeros
-    is_obj = jnp.zeros((n,), bool)
+    is_obj = jnp.zeros(o.x.shape, bool)
     uu = zeros
     vv = zeros
     kd = izeros
@@ -289,10 +295,33 @@ def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
         normal = v3.where(better, nrm, normal)
-        is_obj = jnp.where(better, False, is_obj)
+        is_obj = is_obj & ~better  # (no select-on-bool: Mosaic constraint)
         (col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump) = set_mat(
             better, g, col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump
         )
+
+    return (
+        t_best, normal, is_obj, col, spec, spec_ex, refl, refr, ior, emit,
+        mat_id, uu, vv, kd, ks, ke, bump, set_mat,
+    )
+
+
+def primitives_hit(meta, o: Vec3, d: Vec3) -> HitSoA:
+    """HitSoA from primitives only (no meshes) — the megakernel entry."""
+    (t_best, normal, is_obj, col, spec, spec_ex, refl, refr, ior, emit,
+     mat_id, uu, vv, kd, ks, ke, bump, _) = intersect_primitives_soa(meta, o, d)
+    hit = jnp.isfinite(t_best)
+    return HitSoA(
+        t=t_best, hit=hit, normal=normal, is_obj=is_obj, color=col,
+        spec_color=spec, spec_ex=spec_ex, refl=refl, refr=refr, ior=ior,
+        emit=emit, material_id=mat_id, u=uu, v=vv, kd=kd, ks=ks, ke=ke, bump=bump,
+    )
+
+
+def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
+    """Nearest hit over the whole scene with materials resolved in-loop."""
+    (t_best, normal, is_obj, col, spec, spec_ex, refl, refr, ior, emit,
+     mat_id, uu, vv, kd, ks, ke, bump, set_mat) = intersect_primitives_soa(meta, o, d)
 
     # ---- meshes ------------------------------------------------------------
     if meta.has_obj:
@@ -304,7 +333,7 @@ def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
         t_best = jnp.where(better, mt, t_best)
         mesh_nrm = v3.normalize(mn)
         normal = v3.where(better, mesh_nrm, normal)
-        is_obj = jnp.where(better, True, is_obj)
+        is_obj = is_obj | better
         uu = jnp.where(better, mu, uu)
         vv = jnp.where(better, mv, vv)
         for gi, g in enumerate(meta.geoms):

@@ -92,6 +92,21 @@ def render_sample(
     width, height = meta.resolution
     n = width * height
     trace_depth = meta.trace_depth
+
+    if options.megakernel:
+        from .megakernel import megakernel_sample, supports_megakernel
+
+        if supports_megakernel(meta, options):
+            color, alb = megakernel_sample(meta, options, dev.camera, iteration, base_key)
+            first = iteration == 1
+            z = jnp.zeros((n,), jnp.float32)
+            albedo = Vec3(
+                jnp.where(first, alb.x, z),
+                jnp.where(first, alb.y, z),
+                jnp.where(first, alb.z, z),
+            )
+            return SampleOutput(color=color, albedo=albedo, cache=cache)
+
     ikey = rng.iteration_key(base_key, iteration)
     U = iteration_uniforms(options, ikey, iteration, num_rng_streams(trace_depth), n)
 

@@ -39,7 +39,9 @@ def ssim_loss(pred, target):
 
 
 def msssim_loss(pred, target):
-    return 1.0 - ms_ssim(pred, target)
+    # sum form: bounded gradients (see train/ssim.py); the product form is
+    # kept for the ms_ssim *metric*.
+    return 1.0 - ms_ssim(pred, target, product=False)
 
 
 def l1_msssim_loss(pred, target, alpha: float = 0.16):

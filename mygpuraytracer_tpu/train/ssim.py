@@ -65,7 +65,9 @@ def _downsample2(x):
     return lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
 
 
-def ms_ssim(a: jnp.ndarray, b: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+def ms_ssim(
+    a: jnp.ndarray, b: jnp.ndarray, window_size: int = 11, product: bool = True
+) -> jnp.ndarray:
     """Multi-scale SSIM with the standard 5-scale weights.
 
     The scale count adapts (statically) to the input size: each scale needs
@@ -91,7 +93,14 @@ def ms_ssim(a: jnp.ndarray, b: jnp.ndarray, window_size: int = 11) -> jnp.ndarra
         if i != n_scales - 1:
             a = _downsample2(a)
             b = _downsample2(b)
-    total = jnp.float32(1.0)
+    if product:
+        total = jnp.float32(1.0)
+        for wgt, v in zip(weights, vals):
+            total = total * jnp.power(jnp.maximum(v, 1e-6), wgt)
+        return total
+    # Weighted-sum form: same optimum, bounded gradients (the product form's
+    # v^w explodes as v -> 0, which destabilizes training on small tiles).
+    total = jnp.float32(0.0)
     for wgt, v in zip(weights, vals):
-        total = total * jnp.power(jnp.maximum(v, 1e-6), wgt)
+        total = total + wgt * v
     return total

@@ -28,8 +28,8 @@ def main():
         steps_per_epoch=16,
         batch_size=8,
         tile_size=128,
-        max_lr=1e-3,
-        precision="mixed",
+        max_lr=2e-4,
+        precision="float32",
         save_epochs=10,
     )
     params = train(cfg, log_fn=lambda rec: print(
