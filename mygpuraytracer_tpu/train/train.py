@@ -49,6 +49,10 @@ class TrainConfig:
     max_lr: float = 2e-4
     warmup_pct: float = 0.15
     precision: str = "mixed"  # 'mixed' (bf16 compute) or 'float32'
+    # Transfer applied to color channels before the net — MUST match the
+    # runtime filter's input packing ('srgb' for the LDR RT filter,
+    # input_reorder.ispc:34-52; training/dataset.py applies the same).
+    transfer: str = "srgb"
     seed: int = 42
     save_epochs: int = 10
     valid_epochs: int = 10
@@ -102,10 +106,26 @@ def latest_checkpoint(result_dir: str):
 
 
 def build_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None):
+    from ..denoise import color as color_mod
+
     loss_fn = get_loss_function(cfg.loss)
     compute_dtype = jnp.bfloat16 if cfg.precision == "mixed" else jnp.float32
+    tf = color_mod.make_transfer(cfg.transfer)
+
+    def preprocess(x, y):
+        # Mirror the runtime input packing (input_reorder.ispc): color
+        # channels sanitized to [0,1] + transfer-encoded; aux channels
+        # clamped; target encoded the same way. Keeps SSIM statistics and
+        # gradients in [0,1] — raw linear radiance (light pixels ~ 5*pi)
+        # destabilizes training.
+        col = tf.forward(color_mod.sanitize(x[..., :3], 0.0, 1.0))
+        aux = color_mod.sanitize(x[..., 3:], 0.0, 1.0)
+        x = jnp.concatenate([col, aux], axis=-1)
+        y = tf.forward(color_mod.sanitize(y, 0.0, 1.0))
+        return x, y
 
     def loss_value(params, x, y):
+        x, y = preprocess(x, y)
         pred = unet_apply(params, x.astype(compute_dtype)).astype(jnp.float32)
         return loss_fn(pred, y)
 
