@@ -79,11 +79,14 @@ RENDER_CONFIGS = [
 def bench_render(scene_dir: str, spp_scale: int = 1, json_out=False):
     import os
 
+    import jax
+
     from ..config import RenderOptions
     from ..render import Renderer
     from ..scene import load_scene
     from ..scene.builtin import BUILTIN_SCENES
 
+    on_tpu = jax.default_backend() != "cpu"
     results = []
     for name, scene_file, spp, opts in RENDER_CONFIGS:
         path = os.path.join(scene_dir, scene_file)
@@ -95,7 +98,7 @@ def bench_render(scene_dir: str, spp_scale: int = 1, json_out=False):
                 continue
             scene = BUILTIN_SCENES[base]()
         spp *= spp_scale
-        r = Renderer(scene, RenderOptions(**opts), seed=0)
+        r = Renderer(scene, RenderOptions(megakernel=on_tpu, **opts), seed=0)
         r.step_many(2)
         np.asarray(r.image.x[:4])  # compile+warmup sync
         r.reset()

@@ -307,9 +307,43 @@ def intersect_primitives_soa(meta, o: Vec3, d: Vec3):
 
 
 def primitives_hit(meta, o: Vec3, d: Vec3) -> HitSoA:
-    """HitSoA from primitives only (no meshes) — the megakernel entry."""
+    """HitSoA from primitives + literal-baked small meshes (meta.mega_faces).
+
+    The megakernel entry: fully gather-free — triangle vertices arrive as
+    program constants, so even the mesh test is pure register math. Texcoords
+    are not produced (the megakernel path excludes textured scenes).
+    """
     (t_best, normal, is_obj, col, spec, spec_ex, refl, refr, ior, emit,
-     mat_id, uu, vv, kd, ks, ke, bump, _) = intersect_primitives_soa(meta, o, d)
+     mat_id, uu, vv, kd, ks, ke, bump, set_mat) = intersect_primitives_soa(meta, o, d)
+
+    for gi, v0c, e1c, e2c, nrmc in meta.mega_faces:
+        v0 = v3.splat(v0c)
+        e1 = v3.splat(e1c)
+        e2 = v3.splat(e2c)
+        pvec = v3.cross(d, e2)
+        det = v3.dot(e1, pvec)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        tvec = o - v0
+        u = v3.dot(tvec, pvec) * inv_det
+        qvec = v3.cross(tvec, e1)
+        vv_b = v3.dot(d, qvec) * inv_det
+        t = v3.dot(e2, qvec) * inv_det
+        ok = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (vv_b >= 0.0)
+            & (u + vv_b <= 1.0)
+            & (t > HIT_EPS)
+        )
+        better = ok & (t < t_best)
+        t_best = jnp.where(better, t, t_best)
+        normal = v3.where(better, v3.splat(nrmc), normal)
+        is_obj = is_obj | better
+        g = meta.geoms[gi]
+        (col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump) = set_mat(
+            better, g, col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump
+        )
+
     hit = jnp.isfinite(t_best)
     return HitSoA(
         t=t_best, hit=hit, normal=normal, is_obj=is_obj, color=col,

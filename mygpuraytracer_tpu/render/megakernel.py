@@ -39,8 +39,13 @@ LANES = 128
 
 
 def supports_megakernel(meta, options) -> bool:
-    return (
-        not meta.has_obj
+    """Primitive scenes, plus small meshes baked as literals (mega_faces);
+    textured scenes and large meshes fall back to the wavefront path."""
+    mesh_ok = (not meta.has_obj) or (
+        meta.mega_faces and len(meta.mega_faces) == meta.num_faces
+    )
+    return bool(
+        mesh_ok
         and not meta.has_textures
         and not options.first_bounce_cache_active
     )

@@ -135,6 +135,10 @@ class SceneMeta:
     # Per-geom [start, count) into the face buffer, for geoms of type OBJ.
     face_ranges: tuple[tuple[int, int], ...]
     geoms: tuple[GeomStatic, ...] = ()
+    # Small meshes baked as literals for the megakernel: per real face
+    # (geom_index, v0(3), e1(3), e2(3), unit_normal(3)) in world space.
+    # Populated only when the scene has few enough faces (see MEGA_FACE_CAP).
+    mega_faces: tuple = ()
 
 
 def _pad_to(n: int, multiple: int) -> int:
@@ -333,6 +337,29 @@ def build_device_scene(
             )
         )
 
+    MEGA_FACE_CAP = 256
+    mega_faces = ()
+    if 0 < num_faces <= MEGA_FACE_CAP:
+        all_v0 = np.concatenate(v0s) if v0s else np.zeros((0, 3), np.float32)
+        all_e1 = np.concatenate(e1s) if e1s else np.zeros((0, 3), np.float32)
+        all_e2 = np.concatenate(e2s) if e2s else np.zeros((0, 3), np.float32)
+        all_g = np.concatenate(fgeom) if fgeom else np.zeros(0, np.int32)
+        mf = []
+        for i in range(num_faces):
+            nrm = np.cross(all_e1[i].astype(np.float64), all_e2[i].astype(np.float64))
+            nl = np.linalg.norm(nrm)
+            nrm = nrm / nl if nl > 0 else nrm
+            mf.append(
+                (
+                    int(all_g[i]),
+                    _t3(all_v0[i]),
+                    _t3(all_e1[i]),
+                    _t3(all_e2[i]),
+                    _t3(nrm),
+                )
+            )
+        mega_faces = tuple(mf)
+
     meta = SceneMeta(
         resolution=tuple(scene.state.camera.resolution),
         trace_depth=scene.state.trace_depth,
@@ -347,5 +374,6 @@ def build_device_scene(
         ),
         face_ranges=tuple(face_ranges),
         geoms=tuple(geom_statics),
+        mega_faces=mega_faces,
     )
     return dev, meta

@@ -85,3 +85,28 @@ def test_fastpath_mesh_uv(reference_scenes):
     fm = np.asarray(fast.material_id)[both]
     rm = np.asarray(ref.material_id)[both]
     assert (rm == fm).mean() > 0.999
+
+
+def test_mega_faces_path_matches(reference_scenes):
+    """Literal-baked mesh (megakernel path) vs the dynamic mesh path."""
+    from mygpuraytracer_tpu.ops.trace import primitives_hit
+
+    dev, meta = build_device_scene(load_scene(str(reference_scenes / "cornellObj.txt")))
+    assert meta.mega_faces and len(meta.mega_faces) == meta.num_faces == 12
+    o, d = _random_rays(jax.random.key(21), 2048)
+    ov, dv = from_array(o), from_array(d)
+
+    dyn = intersect_soa(meta, dev, ov, dv)
+    lit = primitives_hit(meta, ov, dv)
+
+    np.testing.assert_array_equal(np.asarray(dyn.hit), np.asarray(lit.hit))
+    both = np.asarray(dyn.hit)
+    np.testing.assert_allclose(
+        np.asarray(dyn.t)[both], np.asarray(lit.t)[both], rtol=2e-4, atol=2e-4
+    )
+    assert (
+        np.asarray(dyn.material_id)[both] == np.asarray(lit.material_id)[both]
+    ).mean() > 0.999
+    dn = np.stack([np.asarray(dyn.normal.x), np.asarray(dyn.normal.y), np.asarray(dyn.normal.z)], -1)[both]
+    ln = np.stack([np.asarray(lit.normal.x), np.asarray(lit.normal.y), np.asarray(lit.normal.z)], -1)[both]
+    assert (np.abs(dn - ln) < 1e-3).all(axis=1).mean() > 0.999
