@@ -102,14 +102,23 @@ def bench_render(scene_dir: str, spp_scale: int = 1, json_out=False):
         r.step_many(2)
         np.asarray(r.image.x[:4])  # compile+warmup sync
         r.reset()
-        t0 = time.perf_counter()
-        r.step_many(spp)
-        np.asarray(r.image.x[:4])
-        dt = time.perf_counter() - t0
+        # Accumulate batches until >= 1.5s so per-dispatch sync latency
+        # doesn't dominate fast configs.
+        total_iters, total_time = 0, 0.0
+        while total_time < 1.5 and total_iters < 16 * spp:
+            t0 = time.perf_counter()
+            r.step_many(spp)
+            np.asarray(r.image.x[:4])
+            total_time += time.perf_counter() - t0
+            total_iters += spp
         w, h = r.meta.resolution
-        ms = w * h * spp / dt / 1e6
+        ms = w * h * total_iters / total_time / 1e6
         results.append(
-            {"bench": name, "msamples_per_sec": round(ms, 2), "iters_per_sec": round(spp / dt, 2)}
+            {
+                "bench": name,
+                "msamples_per_sec": round(ms, 2),
+                "iters_per_sec": round(total_iters / total_time, 2),
+            }
         )
         if not json_out:
             print(f"{name:>24s}: {ms:8.2f} Msamples/s ({spp / dt:6.1f} iters/s)", flush=True)

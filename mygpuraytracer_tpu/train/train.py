@@ -50,9 +50,10 @@ class TrainConfig:
     warmup_pct: float = 0.15
     precision: str = "mixed"  # 'mixed' (bf16 compute) or 'float32'
     # Transfer applied to color channels before the net — MUST match the
-    # runtime filter's input packing ('srgb' for the LDR RT filter,
-    # input_reorder.ispc:34-52; training/dataset.py applies the same).
+    # runtime filter's input packing ('srgb' for the LDR RT filter, 'pu' for
+    # HDR, input_reorder.ispc:34-52; training/dataset.py applies the same).
     transfer: str = "srgb"
+    hdr: bool = False  # HDR color range (clamp to +inf instead of 1)
     seed: int = 42
     save_epochs: int = 10
     valid_epochs: int = 10
@@ -118,10 +119,11 @@ def build_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None):
         # clamped; target encoded the same way. Keeps SSIM statistics and
         # gradients in [0,1] — raw linear radiance (light pixels ~ 5*pi)
         # destabilizes training.
-        col = tf.forward(color_mod.sanitize(x[..., :3], 0.0, 1.0))
+        hi = jnp.inf if cfg.hdr else 1.0
+        col = tf.forward(color_mod.sanitize(x[..., :3], 0.0, hi))
         aux = color_mod.sanitize(x[..., 3:], 0.0, 1.0)
         x = jnp.concatenate([col, aux], axis=-1)
-        y = tf.forward(color_mod.sanitize(y, 0.0, 1.0))
+        y = tf.forward(color_mod.sanitize(y, 0.0, hi))
         return x, y
 
     def loss_value(params, x, y):
@@ -183,6 +185,8 @@ def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):
         losses = []
         for _ in range(cfg.steps_per_epoch):
             x, y = dataset.sample_batch(cfg.batch_size)
+            if x.shape[-1] > cfg.in_channels:
+                x = x[..., : cfg.in_channels]  # e.g. color-only from color+alb pairs
             x, y = jnp.asarray(x), jnp.asarray(y)
             if batch_sharding is not None:
                 x = jax.device_put(x, batch_sharding)

@@ -1,7 +1,8 @@
-"""Train the rt_ldr_alb denoiser on framework-rendered pairs and export TZA.
+"""Train a denoiser weight slot on framework-rendered pairs and export TZA.
 
-Usage: python scripts/train_denoiser.py [data_dir] [epochs] [result_dir]
-Exports weights/rt_ldr_alb.tza on completion (picked up automatically by the
+Usage: python scripts/train_denoiser.py [weights_name] [data_dir] [epochs]
+weights_name: rt_ldr_alb (color+albedo, default) | rt_ldr (color only) | ...
+Exports weights/<name>.tza on completion (picked up automatically by the
 filter API's weights search path).
 """
 
@@ -10,19 +11,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mygpuraytracer_tpu.denoise.weights import WEIGHTS_CHANNELS
 from mygpuraytracer_tpu.train.export import export_weights
 from mygpuraytracer_tpu.train.train import TrainConfig, train
 
 
 def main():
-    data_dir = sys.argv[1] if len(sys.argv) > 1 else "data/denoise"
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    result_dir = sys.argv[3] if len(sys.argv) > 3 else "results/rt_ldr_alb"
+    name = sys.argv[1] if len(sys.argv) > 1 else "rt_ldr_alb"
+    data_dir = sys.argv[2] if len(sys.argv) > 2 else "data/denoise"
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 
     cfg = TrainConfig(
         data_dir=data_dir,
-        result_dir=result_dir,
-        in_channels=6,
+        result_dir=f"results/{name}",
+        in_channels=WEIGHTS_CHANNELS[name],
         loss="l1_msssim",
         num_epochs=epochs,
         steps_per_epoch=16,
@@ -30,15 +32,17 @@ def main():
         tile_size=128,
         max_lr=2e-4,
         precision="float32",
-        save_epochs=10,
+        save_epochs=25,
+        transfer="pu" if "hdr" in name else "srgb",
+        hdr="hdr" in name,
     )
     params = train(cfg, log_fn=lambda rec: print(
         f"epoch {rec['epoch']}: loss {rec['loss']:.4f} "
         f"lr {rec['lr']:.2e} {rec['images_per_sec']:.1f} img/s", flush=True))
 
     os.makedirs("weights", exist_ok=True)
-    export_weights(params, "weights/rt_ldr_alb.tza")
-    print("exported weights/rt_ldr_alb.tza")
+    export_weights(params, f"weights/{name}.tza")
+    print(f"exported weights/{name}.tza")
 
 
 if __name__ == "__main__":
