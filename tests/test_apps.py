@@ -1,0 +1,106 @@
+"""CLI app tests (the reference's app layer: oidnRayTracer CLI surface,
+oidnDenoise, compare/convert tools)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_raytrace_cli(tmp_path):
+    from mygpuraytracer_tpu.apps.raytrace import main
+
+    rc = main([
+        "cornell", "--resolution", "32", "32", "--iterations", "4",
+        "--out-dir", str(tmp_path), "--batch", "4", "--quiet",
+    ])
+    assert rc == 0
+    files = os.listdir(tmp_path)
+    assert any(f.endswith("samp.png") for f in files)
+    assert any(f.endswith("albedo.png") for f in files)
+    assert any(f.endswith("output.png") for f in files)
+    assert any(f.endswith("input.png") for f in files)
+
+
+def test_raytrace_cli_no_denoise(tmp_path):
+    from mygpuraytracer_tpu.apps.raytrace import main
+
+    rc = main([
+        "sphere", "--resolution", "16", "16", "--iterations", "2",
+        "--out-dir", str(tmp_path), "--no-denoise", "--quiet",
+    ])
+    assert rc == 0
+    assert not any(f.endswith("output.png") for f in os.listdir(tmp_path))
+
+
+def test_denoise_cli(tmp_path):
+    from mygpuraytracer_tpu.apps.denoise import main
+    from mygpuraytracer_tpu.utils.image_io import load_image, write_pfm
+
+    rng = np.random.default_rng(0)
+    noisy = rng.random((32, 32, 3)).astype(np.float32)
+    write_pfm(str(tmp_path / "in.pfm"), noisy)
+    rc = main([
+        "--ldr", str(tmp_path / "in.pfm"), "-o", str(tmp_path / "out.pfm"),
+    ])
+    assert rc == 0
+    out = load_image(str(tmp_path / "out.pfm"))
+    assert out.shape == (32, 32, 3) and np.isfinite(out).all()
+
+
+def test_compare_image_cli(tmp_path):
+    from mygpuraytracer_tpu.apps.compare_image import main
+    from mygpuraytracer_tpu.utils.image_io import write_pfm
+
+    a = np.full((8, 8, 3), 0.5, np.float32)
+    write_pfm(str(tmp_path / "a.pfm"), a)
+    write_pfm(str(tmp_path / "b.pfm"), a + 0.1)
+    assert main([str(tmp_path / "a.pfm"), str(tmp_path / "a.pfm")]) == 0
+    assert (
+        main([str(tmp_path / "a.pfm"), str(tmp_path / "b.pfm"),
+              "--threshold", "rmse", "0.01"]) == 2
+    )
+
+
+def test_convert_image_cli(tmp_path):
+    from mygpuraytracer_tpu.apps.convert_image import main
+    from mygpuraytracer_tpu.utils.image_io import load_image, write_pfm
+
+    img = np.random.default_rng(1).random((16, 16, 3)).astype(np.float32)
+    write_pfm(str(tmp_path / "x.pfm"), img)
+    assert main([str(tmp_path / "x.pfm"), str(tmp_path / "x.npy")]) == 0
+    back = load_image(str(tmp_path / "x.npy"))
+    np.testing.assert_allclose(back, img, atol=1e-6)
+    assert main([str(tmp_path / "x.pfm"), str(tmp_path / "x.hdr")]) == 0
+    hdr = load_image(str(tmp_path / "x.hdr"))
+    # RGBE precision: ~pixel_max/128 absolute per channel
+    tol = img.max(axis=-1, keepdims=True) / 64 + 1e-4
+    assert (np.abs(hdr - img) <= tol).all()
+
+
+def test_visualize_cli(tmp_path):
+    from mygpuraytracer_tpu.apps.visualize import main
+
+    log = tmp_path / "log.jsonl"
+    with open(log, "w") as f:
+        for e in range(5):
+            f.write(json.dumps({"epoch": e + 1, "loss": 1.0 / (e + 1)}) + "\n")
+    assert main([str(tmp_path)]) == 0
+    svg = str(tmp_path / "loss.svg")
+    assert main([str(tmp_path), "--svg", svg]) == 0
+    assert os.path.exists(svg)
+
+
+def test_hdr_roundtrip(tmp_path):
+    from mygpuraytracer_tpu.utils.image_io import read_hdr, write_hdr
+
+    img = np.asarray(
+        np.random.default_rng(2).random((12, 20, 3)) * 100.0, np.float32
+    )
+    path = str(tmp_path / "t.hdr")
+    write_hdr(path, img)
+    back = read_hdr(path)
+    # shared-exponent format: absolute precision ~ pixel_max/128 per channel
+    tol = img.max(axis=-1, keepdims=True) / 64 + 1e-4
+    assert (np.abs(back - img) <= tol).all()
