@@ -1,18 +1,22 @@
-"""Pallas megakernel: one Monte-Carlo iteration in ONE TPU kernel.
+"""Pallas megakernel: whole Monte-Carlo sample batches in ONE TPU kernel.
 
-For primitive-only scenes (cube/sphere — the Cornell family), the whole
-iteration — raygen with AA jitter, the full bounce loop with statically
-unrolled geometry, BSDF shading, and the pi-weighted gather — runs inside a
-single `pallas_call`. Ray state lives in VMEM tiles for the kernel's entire
-lifetime: zero HBM traffic between bounces (the XLA wavefront path round-trips
-~10 state arrays per bounce), and all randomness comes from the on-core
-hardware PRNG.
+For scenes of primitives (+ small literal-baked meshes, SceneMeta.mega_faces),
+everything — raygen with AA jitter, the full bounce loop with statically
+unrolled geometry, BSDF shading, the pi-weighted gather, and the accumulation
+across a whole batch of iterations — runs inside a single `pallas_call`:
+
+- ray state and the image accumulator live in VMEM for the kernel's entire
+  lifetime: zero HBM traffic between bounces AND between iterations (the XLA
+  wavefront path round-trips ~10 state arrays per bounce);
+- randomness comes from the on-core hardware PRNG, seeded per
+  (renderer seed, iteration, block) so results are independent of batching;
+- the accumulators are aliased in/out, so a batch costs one HBM read+write.
 
 The geometry/shading math is the SAME code as the XLA path
 (ops.trace.primitives_hit + render.shade.shade_soa, both shape-agnostic over
 2D VMEM tiles), so the megakernel inherits the oracle-checked semantics.
 
-Scenes with meshes/textures fall back to the wavefront path (render_sample).
+Scenes with textures or >256-face meshes fall back to the wavefront path.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,6 +41,8 @@ PI = math.pi
 
 ROWS = 32  # rays per tile = ROWS x 128
 LANES = 128
+
+_MIX = jnp.int32(np.int32(np.uint32(0x9E3779B1)))  # golden-ratio odd constant
 
 
 def supports_megakernel(meta, options) -> bool:
@@ -60,23 +67,21 @@ def _uniform(shape):
 def _make_kernel(meta, options):
     width, height = meta.resolution
     trace_depth = meta.trace_depth
+    shape = (ROWS, LANES)
 
-    def kernel(seed_ref, cam_ref, r_ref, g_ref, b_ref, ar_ref, ag_ref, ab_ref):
+    def trace_one(iteration, cam_ref, in_image):
+        """One camera sample for this tile; returns (color Vec3, albedo Vec3)."""
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] * jnp.int32(np.int32(np.uint32(0x9E3779B1))) + pid)
-
-        # ---- raygen (generateRayFromCamera, pathtrace.cu:248-297) ----------
         base = pid * (ROWS * LANES)
-        row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
-        colm = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        colm = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         idx = base + row * LANES + colm
         x = (idx % width).astype(jnp.float32)
         y = (idx // width).astype(jnp.float32)
-        in_image = idx < (width * height)
 
         if options.antialiasing:
-            x = x + (_uniform((ROWS, LANES)) - 0.5)
-            y = y + (_uniform((ROWS, LANES)) - 0.5)
+            x = x + (_uniform(shape) - 0.5)  # pathtrace.cu:267
+            y = y + (_uniform(shape) - 0.5)
 
         sx = cam_ref[12] * (x - width * 0.5)
         sy = cam_ref[13] * (y - height * 0.5)
@@ -87,7 +92,6 @@ def _make_kernel(meta, options):
                 cam_ref[5] - cam_ref[11] * sx - cam_ref[8] * sy,
             )
         )
-        shape = (ROWS, LANES)
         o = Vec3(
             jnp.full(shape, 0.0) + cam_ref[0],
             jnp.full(shape, 0.0) + cam_ref[1],
@@ -113,47 +117,123 @@ def _make_kernel(meta, options):
             state = shade_soa(meta, None, state, hit, u_choice, u1, u2)
 
         mask = in_image.astype(jnp.float32)
-        r_ref[:, :] = state.color.x * (PI * mask)
-        g_ref[:, :] = state.color.y * (PI * mask)
-        b_ref[:, :] = state.color.z * (PI * mask)
-        ar_ref[:, :] = albedo.x * mask
-        ag_ref[:, :] = albedo.y * mask
-        ab_ref[:, :] = albedo.z * mask
+        color = Vec3(
+            state.color.x * (PI * mask),
+            state.color.y * (PI * mask),
+            state.color.z * (PI * mask),
+        )
+        albedo = Vec3(albedo.x * mask, albedo.y * mask, albedo.z * mask)
+        return color, albedo
+
+    def kernel(
+        seed_ref, start_ref, niter_ref, cam_ref,
+        in_r, in_g, in_b, in_ar, in_ag, in_ab,
+        r_ref, g_ref, b_ref, ar_ref, ag_ref, ab_ref,
+    ):
+        pid = pl.program_id(0)
+        base = pid * (ROWS * LANES)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        colm = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = base + row * LANES + colm
+        in_image = idx < (width * height)
+
+        def body(i, acc):
+            img, alb = acc
+            iteration = start_ref[0] + i
+            # Stream depends on (seed, iteration, block) only — batching-
+            # independent and reproducible.
+            pltpu.prng_seed((seed_ref[0] + iteration) * _MIX + pid)
+            color, a = trace_one(iteration, cam_ref, in_image)
+            img = Vec3(img.x + color.x, img.y + color.y, img.z + color.z)
+            first = iteration == 1
+            alb = v3.where(
+                jnp.full(shape, first),
+                a,
+                alb,
+            )
+            return (img, alb)
+
+        img0 = Vec3(in_r[:, :], in_g[:, :], in_b[:, :])
+        alb0 = Vec3(in_ar[:, :], in_ag[:, :], in_ab[:, :])
+        img, alb = lax.fori_loop(0, niter_ref[0], body, (img0, alb0))
+        r_ref[:, :] = img.x
+        g_ref[:, :] = img.y
+        b_ref[:, :] = img.z
+        ar_ref[:, :] = alb.x
+        ag_ref[:, :] = alb.y
+        ab_ref[:, :] = alb.z
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "options"))
-def megakernel_sample(meta, options, camera, iteration, base_key):
-    """One full MC iteration via the megakernel.
+def _pad_to_tiles(n: int) -> int:
+    tile = ROWS * LANES
+    return ((n + tile - 1) // tile) * tile
 
-    Returns (color Vec3 [N], albedo Vec3 [N]) — albedo is this sample's
-    first-hit AOV (caller applies the iteration==1 rule).
-    """
+
+@functools.partial(jax.jit, static_argnames=("meta", "options"))
+def megakernel_accumulate(
+    meta, options, camera, image: Vec3, albedo: Vec3, start_iteration, num_iters, base_key
+):
+    """Accumulate ``num_iters`` MC iterations into (image, albedo) [N] Vec3
+    triples — one kernel dispatch for the whole batch."""
     width, height = meta.resolution
     n = width * height
-    tile = ROWS * LANES
-    n_pad = ((n + tile - 1) // tile) * tile
-    grid = (n_pad // tile,)
+    n_pad = _pad_to_tiles(n)
+    grid = (n_pad // (ROWS * LANES),)
 
-    ikey = jax.random.fold_in(base_key, iteration)
-    seed = jax.random.randint(ikey, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    # Per-renderer seed (NOT per-iteration: the kernel mixes the iteration in)
+    seed = jax.random.randint(base_key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
     cam_vec = jnp.concatenate(
         [camera.position, camera.view, camera.up, camera.right, camera.pixel_length]
     ).astype(jnp.float32)
 
-    out_shape = [jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)] * 6
+    def to2d(a):
+        return jnp.zeros((n_pad,), jnp.float32).at[:n].set(a).reshape(n_pad // LANES, LANES)
+
+    ins2d = [to2d(a) for v in (image, albedo) for a in (v.x, v.y, v.z)]
+
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)] * 6
     outs = pl.pallas_call(
         _make_kernel(meta, options),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=[smem, smem, smem, smem] + [spec] * 6,
         out_specs=[spec] * 6,
         out_shape=out_shape,
-    )(seed, cam_vec)
+        input_output_aliases={4 + k: k for k in range(6)},
+    )(
+        seed,
+        jnp.asarray(start_iteration, jnp.int32).reshape(1),
+        jnp.asarray(num_iters, jnp.int32).reshape(1),
+        cam_vec,
+        *ins2d,
+    )
 
     flat = [a.reshape(-1)[:n] for a in outs]
     return Vec3(*flat[:3]), Vec3(*flat[3:])
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "options"))
+def megakernel_sample(meta, options, camera, iteration, base_key):
+    """One full MC iteration via the megakernel (render_sample-compatible).
+
+    Returns (color Vec3 [N], albedo Vec3 [N]) — this sample's contribution
+    and first-hit AOV (caller applies the iteration==1 rule).
+    """
+    width, height = meta.resolution
+    n = width * height
+    z = lambda: jnp.zeros((n,), jnp.float32)
+    img, alb = megakernel_accumulate(
+        meta,
+        options,
+        camera,
+        Vec3(z(), z(), z()),
+        Vec3(z(), z(), z()),
+        iteration,
+        jnp.int32(1),
+        base_key,
+    )
+    return img, alb

@@ -62,6 +62,17 @@ def _iteration_step(dev, meta, options, image, albedo_acc, cache, iteration, bas
 def _multi_step(
     dev, meta, options, image, albedo_acc, cache, start_iteration, num_iters, base_key
 ):
+    if options.megakernel:
+        from .megakernel import megakernel_accumulate, supports_megakernel
+
+        if supports_megakernel(meta, options):
+            # The whole batch accumulates inside ONE kernel (VMEM-resident).
+            image, albedo_acc = megakernel_accumulate(
+                meta, options, dev.camera, image, albedo_acc,
+                start_iteration, num_iters, base_key,
+            )
+            return image, albedo_acc, cache
+
     def body(i, carry):
         image, albedo_acc, cache = carry
         iteration = start_iteration + i
