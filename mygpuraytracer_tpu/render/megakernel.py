@@ -42,7 +42,7 @@ PI = math.pi
 ROWS = 32  # rays per tile = ROWS x 128
 LANES = 128
 
-_MIX = jnp.int32(np.int32(np.uint32(0x9E3779B1)))  # golden-ratio odd constant
+_MIX = int(np.int32(np.uint32(0x9E3779B1)))  # golden-ratio odd constant (python int)
 
 
 def supports_megakernel(meta, options) -> bool:
@@ -142,7 +142,7 @@ def _make_kernel(meta, options):
             iteration = start_ref[0] + i
             # Stream depends on (seed, iteration, block) only — batching-
             # independent and reproducible.
-            pltpu.prng_seed((seed_ref[0] + iteration) * _MIX + pid)
+            pltpu.prng_seed((seed_ref[0] + iteration) * jnp.int32(_MIX) + pid)
             color, a = trace_one(iteration, cam_ref, in_image)
             img = Vec3(img.x + color.x, img.y + color.y, img.z + color.z)
             first = iteration == 1

@@ -1,0 +1,46 @@
+"""Regenerate golden renders + bundled scene files (scripts/test.py
+'baseline' mode equivalent). Run on CPU so goldens are platform-stable:
+
+    JAX_PLATFORMS=cpu python scripts/regen_goldens.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from mygpuraytracer_tpu.config import RenderOptions
+from mygpuraytracer_tpu.render import Renderer
+from mygpuraytracer_tpu.scene.builtin import cornell_box, cornell_glass, emissive_sphere
+from mygpuraytracer_tpu.scene.writer import save_scene
+
+
+def main():
+    os.makedirs("scenes", exist_ok=True)
+    os.makedirs("tests/golden", exist_ok=True)
+    for name, maker in (
+        ("cornell", cornell_box),
+        ("cornellGlass", cornell_glass),
+        ("sphere", emissive_sphere),
+    ):
+        save_scene(maker(), f"scenes/{name}.txt")
+
+    for name, maker in (
+        ("cornell_64_32spp", cornell_box),
+        ("cornellGlass_64_32spp", cornell_glass),
+    ):
+        s = maker(resolution=(64, 64))
+        r = Renderer(s, RenderOptions(), seed=0)
+        r.render(iterations=32, batch=8)
+        np.save(f"tests/golden/{name}.npy", r.beauty().astype(np.float32))
+        print(f"{name}: mean {r.beauty().mean():.4f}")
+
+
+if __name__ == "__main__":
+    main()
