@@ -45,12 +45,13 @@ def main() -> None:
     r.step_many(4)
     sync()
 
-    # Measure in growing batches until we have >= 2s of samples or 256 spp.
+    # Measure in large batches (one device program each) until >= 2s of
+    # samples; large batches amortize the per-dispatch sync latency.
     width, height = r.meta.resolution
     total_iters = 0
     total_time = 0.0
-    batch = 32
-    while total_time < 2.0 and total_iters < 256:
+    batch = 128
+    while total_time < 2.0 and total_iters < 1024:
         t0 = time.perf_counter()
         r.step_many(batch)
         sync()
