@@ -245,6 +245,7 @@ class Filter:
         self._params_weights = params
         self._weights_name = name
         self.using_random_weights = random_w
+        self._params_cast = None  # re-cast on next execute (weights changed)
 
         # validate channel count vs features
         n_in = sum(3 for f in self._features() if f)
@@ -357,17 +358,18 @@ class Filter:
             window[: ih1 - ih0, : iw1 - iw0] = img[ih0:ih1, iw0:iw1]
             planes.append((name, window))
 
-        x = _pack_input(
-            tuple(name for name, _ in planes),
-            jnp.asarray(np.concatenate([wdw for _, wdw in planes], axis=-1)),
-            transfer,
-            hdr,
-            snorm,
-            has_color,
+        # ONE device program per tile: pack (sanitize+transfer) -> pad ->
+        # U-Net -> unpack. Anything less fuses poorly: eager per-op dispatch
+        # dominated execute() time before this.
+        names = tuple(name for name, _ in planes)
+        stacked = np.concatenate([wdw for _, wdw in planes], axis=-1)
+        out_np = np.asarray(
+            self._tile_pipeline(names, hdr, snorm, has_color)(
+                self._cast_params(),
+                jnp.asarray(stacked),
+                jnp.float32(transfer.input_scale),
+            )
         )
-        y = self._apply_network(x)
-        out_tile = _unpack_output(y, transfer, hdr, snorm)
-        out_np = np.asarray(out_tile)
 
         # Valid output region of this tile: skip overlap except at borders.
         vh0 = oh - ih0  # offset of output rows inside the tile
@@ -376,17 +378,41 @@ class Filter:
         vw1 = min(vw0 + step_w, iw1 - iw0)
         output[oh : oh + (vh1 - vh0), ow : ow + (vw1 - vw0)] = out_np[vh0:vh1, vw0:vw1]
 
-    def _apply_network(self, x: jnp.ndarray) -> jnp.ndarray:
-        th, tw = x.shape[0], x.shape[1]
-        hp, wp = round_up(max(th, 1), UNET_ALIGNMENT), round_up(max(tw, 1), UNET_ALIGNMENT)
-        xp = jnp.zeros((hp, wp, x.shape[2]), x.dtype).at[:th, :tw].set(x)
-        key = (hp, wp, x.shape[2])
+    def _network_dtype(self):
+        """bf16 on TPU (MXU-native, ~8x f32 conv throughput); f32 on CPU."""
+        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+    def _cast_params(self):
+        dtype = self._network_dtype()
+        if getattr(self, "_params_cast", None) is None or self._params_cast_dtype != dtype:
+            self._params_cast = jax.tree.map(
+                lambda a: a.astype(dtype), self._params_weights
+            )
+            self._params_cast_dtype = dtype
+        return self._params_cast
+
+    def _tile_pipeline(self, names, hdr, snorm, has_color):
+        """Jitted pack->pad->U-Net->unpack for one tile configuration."""
+        key = (names, hdr, snorm, has_color, self.tile_shape, self._transfer_kind())
         fn = self._jitted.get(key)
-        if fn is None:
-            fn = jax.jit(lambda p, a: unet_apply(p, a[None])[0])
-            self._jitted[key] = fn
-        y = fn(self._params_weights, xp)
-        return y[:th, :tw]
+        if fn is not None:
+            return fn
+        transfer_kind = self._transfer_kind()
+        dtype = self._network_dtype()
+
+        @jax.jit
+        def run(params, stacked, input_scale):
+            tf = color_mod.make_transfer(transfer_kind, input_scale)
+            x = _pack_input(names, stacked, tf, hdr, snorm, has_color)
+            th, tw = x.shape[0], x.shape[1]
+            hp = round_up(max(th, 1), UNET_ALIGNMENT)
+            wp = round_up(max(tw, 1), UNET_ALIGNMENT)
+            xp = jnp.zeros((hp, wp, x.shape[2]), dtype).at[:th, :tw].set(x.astype(dtype))
+            y = unet_apply(params, xp[None])[0].astype(jnp.float32)[:th, :tw]
+            return _unpack_output(y, tf, hdr, snorm)
+
+        self._jitted[key] = run
+        return run
 
 
 def _pack_input(names, stacked, transfer, hdr, snorm, has_color):

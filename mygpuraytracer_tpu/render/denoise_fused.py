@@ -54,8 +54,11 @@ def denoise_accumulator(
     color = tf.forward(color_mod.sanitize(color, 0.0, 1.0))
     alb = color_mod.sanitize(alb, 0.0, 1.0)
 
-    x = jnp.concatenate([color, alb], axis=-1)
-    y = unet_apply(params, x[None])[0]
+    # bf16 through the MXU on TPU; f32 where bf16 convs are emulated (CPU).
+    net_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    x = jnp.concatenate([color, alb], axis=-1).astype(net_dtype)
+    params16 = jax.tree.map(lambda a: a.astype(net_dtype), params)
+    y = unet_apply(params16, x[None])[0].astype(jnp.float32)
 
     # output_reorder.ispc: sanitize, inverse transfer, LDR clamp.
     y = color_mod.sanitize(y, 0.0, jnp.inf)
