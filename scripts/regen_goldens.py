@@ -29,7 +29,7 @@ def main():
         ("cornellGlass", cornell_glass),
         ("sphere", emissive_sphere),
     ):
-        save_scene(maker(), f"scenes/{name}.txt")
+        save_scene(maker(), f"scenes/builtin_{name}.txt")
 
     for name, maker in (
         ("cornell_64_32spp", cornell_box),
