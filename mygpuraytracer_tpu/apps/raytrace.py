@@ -37,6 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--depth-of-field", action="store_true")
     p.add_argument("--preview-every", type=int, default=0,
                    help="dump a preview PNG every N iterations (headless 'window')")
+    p.add_argument("--save-normal", action="store_true",
+                   help="also save the first-hit normal AOV ([-1,1] -> [0,1])")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -136,6 +138,8 @@ def main(argv=None) -> int:
     write_png(f"{prefix}samp.png", mirror_x(beauty))
     write_png(f"{prefix}albedo.png", mirror_x(albedo))
     write_png(f"{prefix}input.png", mirror_x(beauty))
+    if args.save_normal:
+        write_png(f"{prefix}normal.png", mirror_x(r.normal_image() * 0.5 + 0.5))
 
     if options.ai_denoise:
         output, tm = denoise_beauty(beauty, albedo, verbose=not args.quiet)

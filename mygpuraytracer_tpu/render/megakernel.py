@@ -107,10 +107,12 @@ def _make_kernel(meta, options):
         )
 
         albedo = None
+        first_hit = None
         for depth in range(trace_depth):
             hit = primitives_hit(meta, state.origin, state.direction)
             if depth == 0:
                 albedo = albedo_soa(meta, None, hit)
+                first_hit = hit
             u_choice = _uniform(shape)
             u1 = _uniform(shape)
             u2 = _uniform(shape)
@@ -123,12 +125,14 @@ def _make_kernel(meta, options):
             state.color.z * (PI * mask),
         )
         albedo = Vec3(albedo.x * mask, albedo.y * mask, albedo.z * mask)
-        return color, albedo
+        nm = first_hit.hit.astype(jnp.float32) * mask
+        normal = Vec3(first_hit.normal.x * nm, first_hit.normal.y * nm, first_hit.normal.z * nm)
+        return color, albedo, normal
 
     def kernel(
         seed_ref, start_ref, niter_ref, cam_ref,
-        in_r, in_g, in_b, in_ar, in_ag, in_ab,
-        r_ref, g_ref, b_ref, ar_ref, ag_ref, ab_ref,
+        in_r, in_g, in_b, in_ar, in_ag, in_ab, in_nr, in_ng, in_nb,
+        r_ref, g_ref, b_ref, ar_ref, ag_ref, ab_ref, nr_ref, ng_ref, nb_ref,
     ):
         pid = pl.program_id(0)
         base = pid * (ROWS * LANES)
@@ -138,30 +142,31 @@ def _make_kernel(meta, options):
         in_image = idx < (width * height)
 
         def body(i, acc):
-            img, alb = acc
+            img, alb, nrm = acc
             iteration = start_ref[0] + i
             # Stream depends on (seed, iteration, block) only — batching-
             # independent and reproducible.
             pltpu.prng_seed((seed_ref[0] + iteration) * jnp.int32(_MIX) + pid)
-            color, a = trace_one(iteration, cam_ref, in_image)
+            color, a, nn = trace_one(iteration, cam_ref, in_image)
             img = Vec3(img.x + color.x, img.y + color.y, img.z + color.z)
-            first = iteration == 1
-            alb = v3.where(
-                jnp.full(shape, first),
-                a,
-                alb,
-            )
-            return (img, alb)
+            first = jnp.full(shape, iteration == 1)
+            alb = v3.where(first, a, alb)
+            nrm = v3.where(first, nn, nrm)
+            return (img, alb, nrm)
 
         img0 = Vec3(in_r[:, :], in_g[:, :], in_b[:, :])
         alb0 = Vec3(in_ar[:, :], in_ag[:, :], in_ab[:, :])
-        img, alb = lax.fori_loop(0, niter_ref[0], body, (img0, alb0))
+        nrm0 = Vec3(in_nr[:, :], in_ng[:, :], in_nb[:, :])
+        img, alb, nrm = lax.fori_loop(0, niter_ref[0], body, (img0, alb0, nrm0))
         r_ref[:, :] = img.x
         g_ref[:, :] = img.y
         b_ref[:, :] = img.z
         ar_ref[:, :] = alb.x
         ag_ref[:, :] = alb.y
         ab_ref[:, :] = alb.z
+        nr_ref[:, :] = nrm.x
+        ng_ref[:, :] = nrm.y
+        nb_ref[:, :] = nrm.z
 
     return kernel
 
@@ -173,10 +178,11 @@ def _pad_to_tiles(n: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("meta", "options"))
 def megakernel_accumulate(
-    meta, options, camera, image: Vec3, albedo: Vec3, start_iteration, num_iters, base_key
+    meta, options, camera, image: Vec3, albedo: Vec3, normal: Vec3,
+    start_iteration, num_iters, base_key,
 ):
-    """Accumulate ``num_iters`` MC iterations into (image, albedo) [N] Vec3
-    triples — one kernel dispatch for the whole batch."""
+    """Accumulate ``num_iters`` MC iterations into (image, albedo, normal)
+    [N] Vec3 triples — one kernel dispatch for the whole batch."""
     width, height = meta.resolution
     n = width * height
     n_pad = _pad_to_tiles(n)
@@ -192,18 +198,18 @@ def megakernel_accumulate(
     def to2d(a):
         return jnp.zeros((n_pad,), jnp.float32).at[:n].set(a).reshape(n_pad // LANES, LANES)
 
-    ins2d = [to2d(a) for v in (image, albedo) for a in (v.x, v.y, v.z)]
+    ins2d = [to2d(a) for v in (image, albedo, normal) for a in (v.x, v.y, v.z)]
 
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shape = [jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)] * 6
+    out_shape = [jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)] * 9
     outs = pl.pallas_call(
         _make_kernel(meta, options),
         grid=grid,
-        in_specs=[smem, smem, smem, smem] + [spec] * 6,
-        out_specs=[spec] * 6,
+        in_specs=[smem, smem, smem, smem] + [spec] * 9,
+        out_specs=[spec] * 9,
         out_shape=out_shape,
-        input_output_aliases={4 + k: k for k in range(6)},
+        input_output_aliases={4 + k: k for k in range(9)},
     )(
         seed,
         jnp.asarray(start_iteration, jnp.int32).reshape(1),
@@ -213,27 +219,28 @@ def megakernel_accumulate(
     )
 
     flat = [a.reshape(-1)[:n] for a in outs]
-    return Vec3(*flat[:3]), Vec3(*flat[3:])
+    return Vec3(*flat[:3]), Vec3(*flat[3:6]), Vec3(*flat[6:9])
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "options"))
 def megakernel_sample(meta, options, camera, iteration, base_key):
     """One full MC iteration via the megakernel (render_sample-compatible).
 
-    Returns (color Vec3 [N], albedo Vec3 [N]) — this sample's contribution
-    and first-hit AOV (caller applies the iteration==1 rule).
+    Returns (color, albedo, normal) Vec3 [N] triples — this sample's
+    contribution and first-hit AOVs (caller applies the iteration==1 rule).
     """
     width, height = meta.resolution
     n = width * height
     z = lambda: jnp.zeros((n,), jnp.float32)
-    img, alb = megakernel_accumulate(
+    img, alb, nrm = megakernel_accumulate(
         meta,
         options,
         camera,
+        Vec3(z(), z(), z()),
         Vec3(z(), z(), z()),
         Vec3(z(), z(), z()),
         iteration,
         jnp.int32(1),
         base_key,
     )
-    return img, alb
+    return img, alb, nrm

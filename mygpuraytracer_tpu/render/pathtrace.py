@@ -45,6 +45,7 @@ PI = math.pi  # finalGather multiplies by pi (pathtrace.cu:508)
 class SampleOutput(NamedTuple):
     color: Vec3  # [N] triple — this sample's contribution (already * pi)
     albedo: Vec3  # [N] triple — zero except at iteration 1
+    normal: Vec3  # [N] triple — first-hit shading normal, zero except iter 1
     cache: HitSoA  # updated first-bounce cache
 
 
@@ -97,15 +98,22 @@ def render_sample(
         from .megakernel import megakernel_sample, supports_megakernel
 
         if supports_megakernel(meta, options):
-            color, alb = megakernel_sample(meta, options, dev.camera, iteration, base_key)
-            first = iteration == 1
-            z = jnp.zeros((n,), jnp.float32)
-            albedo = Vec3(
-                jnp.where(first, alb.x, z),
-                jnp.where(first, alb.y, z),
-                jnp.where(first, alb.z, z),
+            color, alb, nrm = megakernel_sample(
+                meta, options, dev.camera, iteration, base_key
             )
-            return SampleOutput(color=color, albedo=albedo, cache=cache)
+            first = iteration == 1
+            z = lambda: jnp.zeros((n,), jnp.float32)
+            albedo = Vec3(
+                jnp.where(first, alb.x, z()),
+                jnp.where(first, alb.y, z()),
+                jnp.where(first, alb.z, z()),
+            )
+            normal = Vec3(
+                jnp.where(first, nrm.x, z()),
+                jnp.where(first, nrm.y, z()),
+                jnp.where(first, nrm.z, z()),
+            )
+            return SampleOutput(color=color, albedo=albedo, normal=normal, cache=cache)
 
     ikey = rng.iteration_key(base_key, iteration)
     U = iteration_uniforms(options, ikey, iteration, num_rng_streams(trace_depth), n)
@@ -139,6 +147,12 @@ def render_sample(
     albedo = Vec3(
         jnp.where(first, alb.x, z), jnp.where(first, alb.y, z), jnp.where(first, alb.z, z)
     )
+    hit_first = first & hit0.hit
+    normal = Vec3(
+        jnp.where(hit_first, hit0.normal.x, z),
+        jnp.where(hit_first, hit0.normal.y, z),
+        jnp.where(hit_first, hit0.normal.z, z),
+    )
     state = shade_soa(meta, dev, state, hit0, U[4], U[5], U[6])
 
     # ---- bounces 1..depth-1 ---------------------------------------------------
@@ -156,4 +170,4 @@ def render_sample(
         state, _ = lax.scan(bounce, state, jnp.arange(1, trace_depth))
 
     color = Vec3(state.color.x * PI, state.color.y * PI, state.color.z * PI)
-    return SampleOutput(color=color, albedo=albedo, cache=new_cache)
+    return SampleOutput(color=color, albedo=albedo, normal=normal, cache=new_cache)

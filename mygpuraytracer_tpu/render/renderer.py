@@ -32,55 +32,69 @@ from ..utils.timer import PerformanceTimer
 from .pathtrace import make_empty_cache, render_sample
 
 
-def _accumulate(image: Vec3, albedo_acc: Vec3, out, iteration):
+def _first_select(first, new: Vec3, old: Vec3) -> Vec3:
+    return Vec3(
+        jnp.where(first, new.x, old.x),
+        jnp.where(first, new.y, old.y),
+        jnp.where(first, new.z, old.z),
+    )
+
+
+def _accumulate(image: Vec3, albedo_acc: Vec3, normal_acc: Vec3, out, iteration):
     image = Vec3(image.x + out.color.x, image.y + out.color.y, image.z + out.color.z)
     first = iteration == 1
-    albedo_acc = Vec3(
-        jnp.where(first, out.albedo.x, albedo_acc.x),
-        jnp.where(first, out.albedo.y, albedo_acc.y),
-        jnp.where(first, out.albedo.z, albedo_acc.z),
-    )
-    return image, albedo_acc
+    albedo_acc = _first_select(first, out.albedo, albedo_acc)
+    normal_acc = _first_select(first, out.normal, normal_acc)
+    return image, albedo_acc, normal_acc
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "options"),
-    donate_argnames=("image", "albedo_acc", "cache"),
+    donate_argnames=("image", "albedo_acc", "normal_acc", "cache"),
 )
-def _iteration_step(dev, meta, options, image, albedo_acc, cache, iteration, base_key):
+def _iteration_step(
+    dev, meta, options, image, albedo_acc, normal_acc, cache, iteration, base_key
+):
     out = render_sample(dev, meta, options, iteration, base_key, cache)
-    image, albedo_acc = _accumulate(image, albedo_acc, out, iteration)
-    return image, albedo_acc, out.cache
+    image, albedo_acc, normal_acc = _accumulate(
+        image, albedo_acc, normal_acc, out, iteration
+    )
+    return image, albedo_acc, normal_acc, out.cache
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "options"),
-    donate_argnames=("image", "albedo_acc", "cache"),
+    donate_argnames=("image", "albedo_acc", "normal_acc", "cache"),
 )
 def _multi_step(
-    dev, meta, options, image, albedo_acc, cache, start_iteration, num_iters, base_key
+    dev, meta, options, image, albedo_acc, normal_acc, cache,
+    start_iteration, num_iters, base_key,
 ):
     if options.megakernel:
         from .megakernel import megakernel_accumulate, supports_megakernel
 
         if supports_megakernel(meta, options):
             # The whole batch accumulates inside ONE kernel (VMEM-resident).
-            image, albedo_acc = megakernel_accumulate(
-                meta, options, dev.camera, image, albedo_acc,
+            image, albedo_acc, normal_acc = megakernel_accumulate(
+                meta, options, dev.camera, image, albedo_acc, normal_acc,
                 start_iteration, num_iters, base_key,
             )
-            return image, albedo_acc, cache
+            return image, albedo_acc, normal_acc, cache
 
     def body(i, carry):
-        image, albedo_acc, cache = carry
+        image, albedo_acc, normal_acc, cache = carry
         iteration = start_iteration + i
         out = render_sample(dev, meta, options, iteration, base_key, cache)
-        image, albedo_acc = _accumulate(image, albedo_acc, out, iteration)
-        return (image, albedo_acc, out.cache)
+        image, albedo_acc, normal_acc = _accumulate(
+            image, albedo_acc, normal_acc, out, iteration
+        )
+        return (image, albedo_acc, normal_acc, out.cache)
 
-    return jax.lax.fori_loop(0, num_iters, body, (image, albedo_acc, cache))
+    return jax.lax.fori_loop(
+        0, num_iters, body, (image, albedo_acc, normal_acc, cache)
+    )
 
 
 class Renderer:
@@ -103,6 +117,7 @@ class Renderer:
         zeros = lambda: jnp.zeros((n,), jnp.float32)
         self.image = Vec3(zeros(), zeros(), zeros())
         self.albedo = Vec3(zeros(), zeros(), zeros())
+        self.normal = Vec3(zeros(), zeros(), zeros())
         self.cache = make_empty_cache(n)
         self.iteration = 0
 
@@ -121,12 +136,13 @@ class Renderer:
     def step(self) -> int:
         """Run one MC iteration; returns the new iteration count."""
         self.iteration += 1
-        self.image, self.albedo, self.cache = _iteration_step(
+        self.image, self.albedo, self.normal, self.cache = _iteration_step(
             self.dev,
             self.meta,
             self.options,
             self.image,
             self.albedo,
+            self.normal,
             self.cache,
             jnp.int32(self.iteration),
             self.base_key,
@@ -135,12 +151,13 @@ class Renderer:
 
     def step_many(self, num_iters: int) -> int:
         """Run ``num_iters`` MC iterations in one device dispatch."""
-        self.image, self.albedo, self.cache = _multi_step(
+        self.image, self.albedo, self.normal, self.cache = _multi_step(
             self.dev,
             self.meta,
             self.options,
             self.image,
             self.albedo,
+            self.normal,
             self.cache,
             jnp.int32(self.iteration + 1),
             jnp.int32(num_iters),
@@ -209,6 +226,11 @@ class Renderer:
 
     def albedo_image(self) -> np.ndarray:
         return self._to_hw3(self.albedo)
+
+    def normal_image(self) -> np.ndarray:
+        """First-hit shading normals in [-1,1] (AOV the reference lacks;
+        feeds OIDN's alb+nrm quality tier)."""
+        return self._to_hw3(self.normal)
 
     def raw_accumulator(self) -> np.ndarray:
         return self._to_hw3(self.image)

@@ -123,3 +123,17 @@ def test_depth_of_field_runs(cornell_small):
     r = Renderer(cornell_small, RenderOptions(depth_of_field=True), seed=0)
     r.render(iterations=1)
     assert np.isfinite(r.beauty()).all()
+
+
+def test_normal_aov(cornell_small):
+    r = Renderer(cornell_small, RenderOptions(antialiasing=False), seed=0)
+    r.render(iterations=1)
+    nrm = r.normal_image()
+    assert np.isfinite(nrm).all()
+    lens = np.linalg.norm(nrm.reshape(-1, 3), axis=1)
+    hit = lens > 0.5
+    assert hit.mean() > 0.8  # most primary rays hit the box
+    np.testing.assert_allclose(lens[hit], 1.0, atol=1e-4)  # unit normals
+    # back wall normals point toward camera (+z)
+    center = nrm[32, 32]
+    assert abs(np.linalg.norm(center) - 1.0) < 1e-3
