@@ -58,35 +58,41 @@ def render_multichip_sample(
     n = width * height
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=(P(), P())
+        jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=(P(), P(), P())
     )
     def shard_fn(dev_rep):
         didx = lax.axis_index(axis)
         cache = make_empty_cache(n)
 
+        def first_sel(first, new, old):
+            return Vec3(
+                jnp.where(first, new.x, old.x),
+                jnp.where(first, new.y, old.y),
+                jnp.where(first, new.z, old.z),
+            )
+
         def body(i, carry):
-            img, alb, cache = carry
+            img, alb, nrm, cache = carry
             iteration = didx * per_dev + i + 1
             out = render_sample(dev_rep, meta, options, iteration, base_key, cache)
             img = Vec3(img.x + out.color.x, img.y + out.color.y, img.z + out.color.z)
             first = iteration == 1
-            alb = Vec3(
-                jnp.where(first, out.albedo.x, alb.x),
-                jnp.where(first, out.albedo.y, alb.y),
-                jnp.where(first, out.albedo.z, alb.z),
-            )
-            return img, alb, out.cache
+            alb = first_sel(first, out.albedo, alb)
+            nrm = first_sel(first, out.normal, nrm)
+            return img, alb, nrm, out.cache
 
         # pvary: the carry becomes device-varying inside the loop (it depends
         # on axis_index), so the init must be marked varying over 'dp' too.
         z = lambda: lax.pvary(jnp.zeros((n,), jnp.float32), axis)
         img = Vec3(z(), z(), z())
         alb = Vec3(z(), z(), z())
+        nrm = Vec3(z(), z(), z())
         cache = jax.tree.map(lambda a: lax.pvary(a, axis), cache)
-        img, alb, _ = lax.fori_loop(0, per_dev, body, (img, alb, cache))
+        img, alb, nrm, _ = lax.fori_loop(0, per_dev, body, (img, alb, nrm, cache))
         img = jax.tree.map(lambda a: lax.psum(a, axis), img)
         alb = jax.tree.map(lambda a: lax.psum(a, axis), alb)
-        return img, alb
+        nrm = jax.tree.map(lambda a: lax.psum(a, axis), nrm)
+        return img, alb, nrm
 
     return shard_fn(dev)
 

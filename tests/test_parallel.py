@@ -32,7 +32,7 @@ def test_sample_parallel_matches_sequential(mesh):
     dev, meta = build_device_scene(scene, options.face_chunk)
     key = jax.random.key(5)
 
-    img_mc, alb_mc = render_multichip_sample(dev, meta, options, key, 8, mesh)
+    img_mc, alb_mc, _nrm_mc = render_multichip_sample(dev, meta, options, key, 8, mesh)
 
     r = Renderer(scene, options, seed=5)
     r.render(iterations=8)
