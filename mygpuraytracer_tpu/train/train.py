@@ -121,8 +121,13 @@ def build_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None):
         # destabilizes training.
         hi = jnp.inf if cfg.hdr else 1.0
         col = tf.forward(color_mod.sanitize(x[..., :3], 0.0, hi))
-        aux = color_mod.sanitize(x[..., 3:], 0.0, 1.0)
-        x = jnp.concatenate([col, aux], axis=-1)
+        parts = [col]
+        if cfg.in_channels >= 6:
+            parts.append(color_mod.sanitize(x[..., 3:6], 0.0, 1.0))  # albedo
+        if cfg.in_channels >= 9:
+            # normals: [-1,1] -> [0,1] (input_reorder.ispc storeNormal)
+            parts.append(color_mod.sanitize(x[..., 6:9], -1.0, 1.0) * 0.5 + 0.5)
+        x = jnp.concatenate(parts, axis=-1)
         y = tf.forward(color_mod.sanitize(y, 0.0, hi))
         return x, y
 

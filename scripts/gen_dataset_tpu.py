@@ -1,5 +1,8 @@
 """Generate a larger denoiser training set on TPU with the megakernel.
 
+Inputs are 9 channels (noisy color, albedo, first-hit normal); trainers for
+3/6-channel slots slice the prefix.
+
 Camera moves don't recompile (CameraParams is dynamic), so one compile per
 scene serves all poses; clean targets at 2048 spp are ~2s each.
 """
@@ -55,8 +58,9 @@ def main():
             clean_r.step_many(CLEAN_SPP)
             noisy = noisy_r.beauty()
             albedo = noisy_r.albedo_image()
+            normal = noisy_r.normal_image()
             clean = clean_r.beauty()
-            x = np.concatenate([noisy, albedo], axis=-1).astype(np.float32)
+            x = np.concatenate([noisy, albedo, normal], axis=-1).astype(np.float32)
             np.save(os.path.join(OUT, f"{sname}_c{ci}.input.npy"), x)
             np.save(os.path.join(OUT, f"{sname}_c{ci}.target.npy"), clean.astype(np.float32))
             print(f"{sname}_c{ci}: noisy {noisy.mean():.3f} clean {clean.mean():.3f}", flush=True)
