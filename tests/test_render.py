@@ -108,8 +108,11 @@ def test_obj_scene_renders(reference_scenes):
     assert img.mean() > 0.01
 
 
-def test_move_camera_resets(cornell_small):
-    r = Renderer(cornell_small, RenderOptions(), seed=0)
+def test_move_camera_resets(reference_scenes):
+    # private scene: move_camera mutates the Scene, don't pollute the fixture
+    scene = load_scene(str(reference_scenes / "cornell.txt"))
+    scene.set_resolution(64, 64)
+    r = Renderer(scene, RenderOptions(), seed=0)
     r.render(iterations=2)
     assert r.iteration == 2
     r.move_camera(position=[0.0, 5.0, 12.0])
