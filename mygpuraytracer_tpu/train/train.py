@@ -166,7 +166,9 @@ def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):
         peak_value=cfg.max_lr,
         pct_start=cfg.warmup_pct,
     )
-    optimizer = optax.adam(schedule)
+    # Global-norm clipping: occasional SSIM-gradient spikes near the peak LR
+    # can otherwise blow up the run irrecoverably.
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
     opt_state = optimizer.init(params)
 
     start_epoch = 0
