@@ -106,17 +106,26 @@ def _make_kernel(meta, options):
             remaining=jnp.full(shape, trace_depth, jnp.int32),
         )
 
-        albedo = None
-        first_hit = None
-        for depth in range(trace_depth):
-            hit = primitives_hit(meta, state.origin, state.direction)
-            if depth == 0:
-                albedo = albedo_soa(meta, None, hit)
-                first_hit = hit
-            u_choice = _uniform(shape)
-            u1 = _uniform(shape)
-            u2 = _uniform(shape)
-            state = shade_soa(meta, None, state, hit, u_choice, u1, u2)
+        # bounce 0 (always) — also captures the AOVs
+        hit0 = primitives_hit(meta, state.origin, state.direction)
+        albedo = albedo_soa(meta, None, hit0)
+        first_hit = hit0
+        state = shade_soa(
+            meta, None, state, hit0, _uniform(shape), _uniform(shape), _uniform(shape)
+        )
+
+        def bounce(s: PathStateSoA) -> PathStateSoA:
+            h = primitives_hit(meta, s.origin, s.direction)
+            return shade_soa(
+                meta, None, s, h, _uniform(shape), _uniform(shape), _uniform(shape)
+            )
+
+        for depth in range(1, trace_depth):
+            # Tile-level early exit: rays in a tile die together for coherent
+            # tiles (misses, light hits); skip whole bounces when none live.
+            state = lax.cond(
+                jnp.any(state.remaining > 0), bounce, lambda s: s, state
+            )
 
         mask = in_image.astype(jnp.float32)
         color = Vec3(

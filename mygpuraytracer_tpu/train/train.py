@@ -54,6 +54,7 @@ class TrainConfig:
     # HDR, input_reorder.ispc:34-52; training/dataset.py applies the same).
     transfer: str = "srgb"
     hdr: bool = False  # HDR color range (clamp to +inf instead of 1)
+    snorm: bool = False  # signed-normalized input/target (normal prefilter)
     seed: int = 42
     save_epochs: int = 10
     valid_epochs: int = 10
@@ -119,6 +120,11 @@ def build_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None):
         # clamped; target encoded the same way. Keeps SSIM statistics and
         # gradients in [0,1] — raw linear radiance (light pixels ~ 5*pi)
         # destabilizes training.
+        if cfg.snorm:
+            # signed-normalized filter (rt_nrm): [-1,1] -> [0,1], linear tf
+            col = color_mod.sanitize(x[..., :3], -1.0, 1.0) * 0.5 + 0.5
+            y = color_mod.sanitize(y, -1.0, 1.0) * 0.5 + 0.5
+            return col, y
         hi = jnp.inf if cfg.hdr else 1.0
         col = tf.forward(color_mod.sanitize(x[..., :3], 0.0, hi))
         parts = [col]

@@ -20,6 +20,20 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "rt_ldr_alb"
     data_dir = sys.argv[2] if len(sys.argv) > 2 else "data/denoise"
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    max_lr = float(sys.argv[4]) if len(sys.argv) > 4 else 2e-4
+
+    # Per-slot transfer config mirrors the runtime (RTFilter/RTLightmapFilter
+    # getTransferFunc + snorm rules, core/unet.cpp:613-621,693-763).
+    if name.startswith("rtlightmap"):
+        transfer, hdr, snorm = "log", True, False
+    elif name == "rt_nrm":
+        transfer, hdr, snorm = "linear", False, True
+    elif name == "rt_alb":
+        transfer, hdr, snorm = "srgb", False, False
+    else:
+        transfer = "pu" if "hdr" in name else "srgb"
+        hdr = "hdr" in name
+        snorm = False
 
     cfg = TrainConfig(
         data_dir=data_dir,
@@ -30,11 +44,12 @@ def main():
         steps_per_epoch=16,
         batch_size=8,
         tile_size=128,
-        max_lr=2e-4,
+        max_lr=max_lr,
         precision="float32",
         save_epochs=25,
-        transfer="pu" if "hdr" in name else "srgb",
-        hdr="hdr" in name,
+        transfer=transfer,
+        hdr=hdr,
+        snorm=snorm,
     )
     params = train(cfg, log_fn=lambda rec: print(
         f"epoch {rec['epoch']}: loss {rec['loss']:.4f} "
