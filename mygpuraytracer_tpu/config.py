@@ -27,6 +27,9 @@ class RenderOptions:
     antialiasing: bool = True
     bounding_box: bool = False
     ai_denoise: bool = True
+    # Stratified-jitter hemisphere variant (interactions.h:5,47-86). The
+    # sampler exists (ops.sampling.jittered_sample_hemisphere) but, like the
+    # reference default, is compiled out of the shade path.
     jittered_sampling: bool = False
 
     # Thin-lens parameters (pathtrace.cu:279-280).

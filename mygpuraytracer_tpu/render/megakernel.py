@@ -98,6 +98,23 @@ def _make_kernel(meta, options):
             jnp.full(shape, 0.0) + cam_ref[2],
         )
 
+        if options.depth_of_field and options.lens_radius > 0:
+            # thin-lens DoF via concentric disk (pathtrace.cu:225-293)
+            ux = 2.0 * _uniform(shape) - 1.0
+            uy = 2.0 * _uniform(shape) - 1.0
+            use_x = jnp.abs(ux) > jnp.abs(uy)
+            sx_ = jnp.where(ux == 0.0, 1.0, ux)
+            sy_ = jnp.where(uy == 0.0, 1.0, uy)
+            rr = jnp.where(use_x, ux, uy)
+            theta = jnp.where(use_x, 0.785398 * (uy / sx_), 1.570796 - 0.785398 * (ux / sy_))
+            degen = (ux == 0.0) & (uy == 0.0)
+            px = jnp.where(degen, 0.0, options.lens_radius * rr * jnp.cos(theta))
+            py = jnp.where(degen, 0.0, options.lens_radius * rr * jnp.sin(theta))
+            ft = jnp.abs(options.focal_distance / d.z)
+            focus = Vec3(o.x + d.x * ft, o.y + d.y * ft, o.z + d.z * ft)
+            o = Vec3(o.x + px, o.y + py, o.z)
+            d = v3.normalize(focus - o)
+
         ones = jnp.ones(shape, jnp.float32)
         state = PathStateSoA(
             origin=o,
