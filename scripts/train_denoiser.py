@@ -21,6 +21,7 @@ def main():
     data_dir = sys.argv[2] if len(sys.argv) > 2 else "data/denoise"
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 200
     max_lr = float(sys.argv[4]) if len(sys.argv) > 4 else 2e-4
+    loss = sys.argv[5] if len(sys.argv) > 5 else "l1_msssim"
 
     # Per-slot transfer config mirrors the runtime (RTFilter/RTLightmapFilter
     # getTransferFunc + snorm rules, core/unet.cpp:613-621,693-763).
@@ -39,7 +40,7 @@ def main():
         data_dir=data_dir,
         result_dir=f"results/{name}",
         in_channels=WEIGHTS_CHANNELS[name],
-        loss="l1_msssim",
+        loss=loss,
         num_epochs=epochs,
         steps_per_epoch=16,
         batch_size=8,
