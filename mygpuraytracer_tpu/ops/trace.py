@@ -18,7 +18,6 @@ doubles as this module's test oracle — see tests/test_fastpath.py).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ Depthwise convolutions keep the window application on the MXU.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 import jax.numpy as jnp

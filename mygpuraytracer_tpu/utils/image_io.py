@@ -9,7 +9,6 @@ use .npy or .pfm for HDR data.
 from __future__ import annotations
 
 import os
-import struct
 
 import numpy as np
 
