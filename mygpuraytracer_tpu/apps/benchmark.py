@@ -121,7 +121,11 @@ def bench_render(scene_dir: str, spp_scale: int = 1, json_out=False):
             }
         )
         if not json_out:
-            print(f"{name:>24s}: {ms:8.2f} Msamples/s ({spp / dt:6.1f} iters/s)", flush=True)
+            print(
+                f"{name:>24s}: {ms:8.2f} Msamples/s "
+                f"({total_iters / total_time:6.1f} iters/s)",
+                flush=True,
+            )
     return results
 
 
