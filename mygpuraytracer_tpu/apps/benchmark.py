@@ -69,9 +69,12 @@ RENDER_CONFIGS = [
     ("cornell_16spp", "cornell.txt", 16, {}),
     ("cornellGlass_16spp", "cornellGlass.txt", 16, {}),
     ("sphere_16spp", "sphere.txt", 16, {}),
+    # Forces the wavefront path (megakernel=False): material-sorted execution
+    # only exists there — the megakernel's register-resident lanes have no
+    # memory order to sort.
     ("cornell_dof_cache_sort", "cornell.txt", 16,
      dict(depth_of_field=True, cache_first_bounce=True, sort_by_material=True,
-          antialiasing=False)),
+          antialiasing=False, megakernel=False)),
     ("cornellObj_16spp", "cornellObj.txt", 16, {}),
 ]
 
@@ -98,7 +101,7 @@ def bench_render(scene_dir: str, spp_scale: int = 1, json_out=False):
                 continue
             scene = BUILTIN_SCENES[base]()
         spp *= spp_scale
-        r = Renderer(scene, RenderOptions(megakernel=on_tpu, **opts), seed=0)
+        r = Renderer(scene, RenderOptions(**{"megakernel": on_tpu, **opts}), seed=0)
         r.step_many(2)
         np.asarray(r.image.x[:4])  # compile+warmup sync
         r.reset()

@@ -23,8 +23,18 @@ class RenderOptions:
 
     depth_of_field: bool = False
     cache_first_bounce: bool = True
+    # Material-sorted wavefront execution (thrust::sort_by_key,
+    # pathtrace.cu:590,612): each bounce jointly sorts path state +
+    # intersections by descending material id before shading. The rendered
+    # image is bitwise identical either way (RNG streams follow the pixel
+    # id); on TPU sorting is pure overhead — there is no warp divergence to
+    # fix — so this exists for reference parity and for measuring that fact.
+    # The megakernel ignores it: its lanes are register-resident and have no
+    # memory order to sort.
     sort_by_material: bool = True
     antialiasing: bool = True
+    # Per-ray mesh-AABB pre-test (pathtrace.cu:348-353): rays missing every
+    # mesh AABB skip the face stream (scalar lax.cond over the wavefront).
     bounding_box: bool = False
     ai_denoise: bool = True
     # Stratified-jitter hemisphere variant (interactions.h:5,47-86). The

@@ -16,6 +16,7 @@ runnable and testable; output quality then reflects the untrained network.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -69,8 +70,10 @@ def load_default_params(name: str):
             params = params_from_tza(tensors)
             _cache[name] = (params, False)
             return _cache[name]
-    # Deterministic fallback seeded by the blob name.
-    seed = abs(hash(name)) % (2**31)
+    # Deterministic fallback seeded by the blob name. crc32, not hash():
+    # Python salts str.__hash__ per process, which would make the "random"
+    # init differ across runs.
+    seed = zlib.crc32(name.encode()) % (2**31)
     params = init_unet_params(WEIGHTS_CHANNELS[name], seed=seed)
     _cache[name] = (params, True)
     return _cache[name]

@@ -351,17 +351,80 @@ def primitives_hit(meta, o: Vec3, d: Vec3) -> HitSoA:
     )
 
 
-def intersect_soa(meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128) -> HitSoA:
-    """Nearest hit over the whole scene with materials resolved in-loop."""
+def aabb_hit_soa(bmin: tuple, bmax: tuple, o: Vec3, d: Vec3) -> jnp.ndarray:
+    """World axis-aligned slab test vs a literal box (intersections.h:146-175).
+
+    Returns bool[N]: the ray (origin o, direction d) enters the box at some
+    t > 0, or starts inside it. Direction need not be unit length.
+    """
+    def axis(bmn, bmx, oa, da):
+        inv = 1.0 / jnp.where(jnp.abs(da) < 1e-20, 1e-20, da)
+        t1 = (bmn - oa) * inv
+        t2 = (bmx - oa) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    ax, bx = axis(bmin[0], bmax[0], o.x, d.x)
+    ay, by = axis(bmin[1], bmax[1], o.y, d.y)
+    az, bz = axis(bmin[2], bmax[2], o.z, d.z)
+    tmin = jnp.maximum(jnp.maximum(ax, ay), az)
+    tmax = jnp.minimum(jnp.minimum(bx, by), bz)
+    return (tmax >= tmin) & (tmax > 0)
+
+
+def mesh_aabb_mask(meta, o: Vec3, d: Vec3) -> jnp.ndarray:
+    """Per-ray OR of the OBJ geoms' world-AABB tests — the BOUNDING_BOX
+    pre-test (pathtrace.cu:348-353) in masked-lane form."""
+    mask = jnp.zeros(o.x.shape, bool)
+    for g in meta.geoms:
+        if g.type == int(GeomType.OBJ) and g.face_count > 0:
+            mask = mask | aabb_hit_soa(g.aabb_min, g.aabb_max, o, d)
+    return mask
+
+
+def intersect_soa(
+    meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128, bounding_box: bool = False
+) -> HitSoA:
+    """Nearest hit over the whole scene with materials resolved in-loop.
+
+    ``bounding_box`` enables the reference's optional AABB pre-test
+    (pathtrace.cu:348-353): rays that miss every mesh AABB skip the face
+    stream entirely (scalar lax.cond over the wavefront) and per-ray misses
+    are masked out. Results are identical either way — the AABB contains all
+    of its geom's faces.
+    """
     (t_best, normal, is_obj, col, spec, spec_ex, refl, refr, ior, emit,
      mat_id, uu, vv, kd, ks, ke, bump, set_mat) = intersect_primitives_soa(meta, o, d)
 
     # ---- meshes ------------------------------------------------------------
     if meta.has_obj:
         with_bump = any(g.bump > 0 for g in meta.geoms)
-        mt, mn, mu, mv, mgid, bex = mesh_intersect_soa(
-            meta, dev, o, d, face_chunk, with_bump=with_bump
-        )
+        n_extras = 10 if with_bump else 0
+
+        def run_mesh(_):
+            return mesh_intersect_soa(
+                meta, dev, o, d, face_chunk, with_bump=with_bump
+            )
+
+        if bounding_box:
+            box_mask = mesh_aabb_mask(meta, o, d)
+
+            def skip_mesh(_):
+                zeros = jnp.zeros(o.x.shape, jnp.float32)
+                return (
+                    jnp.full(o.x.shape, jnp.inf, jnp.float32),
+                    Vec3(zeros, zeros, zeros),
+                    zeros,
+                    zeros,
+                    zeros,
+                    tuple(jnp.zeros(o.x.shape, jnp.float32) for _ in range(n_extras)),
+                )
+
+            mt, mn, mu, mv, mgid, bex = lax.cond(
+                jnp.any(box_mask), run_mesh, skip_mesh, None
+            )
+            mt = jnp.where(box_mask, mt, jnp.inf)
+        else:
+            mt, mn, mu, mv, mgid, bex = run_mesh(None)
         better = mt < t_best
         t_best = jnp.where(better, mt, t_best)
         mesh_nrm = v3.normalize(mn)

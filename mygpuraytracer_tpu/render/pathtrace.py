@@ -32,6 +32,7 @@ from jax import lax
 
 from ..config import RenderOptions
 from ..ops import rng
+from ..ops.compaction import sort_by_material_key
 from ..ops.prng import iteration_uniforms
 from ..ops.trace import HitSoA, intersect_soa
 from ..ops.vec3 import Vec3
@@ -82,6 +83,26 @@ def num_rng_streams(trace_depth: int) -> int:
     return 4 + 3 * trace_depth
 
 
+def _sort_wavefront(state: PathStateSoA, hit: HitSoA, pixel: jnp.ndarray):
+    """Material-sorted execution (thrust::sort_by_key, pathtrace.cu:590,612).
+
+    Jointly sorts the path state, the intersections, and the pixel map by
+    descending material id so lanes shading the same material are contiguous.
+    Because RNG streams are then gathered by pixel id (matching the
+    reference, whose RNG seed hashes the original pixel index,
+    pathtrace.cu:409), the rendered image is bitwise identical with sorting
+    on or off — only the execution order changes.
+    """
+    flat_s, tree_s = jax.tree_util.tree_flatten(state)
+    flat_h, tree_h = jax.tree_util.tree_flatten(hit)
+    ns = len(flat_s)
+    out = sort_by_material_key(hit.material_id, *flat_s, *flat_h, pixel)
+    rest = out[1:]
+    state = jax.tree_util.tree_unflatten(tree_s, rest[:ns])
+    hit = jax.tree_util.tree_unflatten(tree_h, rest[ns:-1])
+    return state, hit, rest[-1]
+
+
 def render_sample(
     dev: DeviceScene,
     meta: SceneMeta,
@@ -130,7 +151,10 @@ def render_sample(
     # ---- bounce 0: cache + albedo -------------------------------------------
     if options.first_bounce_cache_active:
         def compute_and_cache(_):
-            h = intersect_soa(meta, dev, state.origin, state.direction, options.face_chunk)
+            h = intersect_soa(
+                meta, dev, state.origin, state.direction, options.face_chunk,
+                bounding_box=options.bounding_box,
+            )
             return h, h
 
         def reuse(_):
@@ -138,7 +162,10 @@ def render_sample(
 
         hit0, new_cache = lax.cond(iteration == 1, compute_and_cache, reuse, None)
     else:
-        hit0 = intersect_soa(meta, dev, state.origin, state.direction, options.face_chunk)
+        hit0 = intersect_soa(
+            meta, dev, state.origin, state.direction, options.face_chunk,
+            bounding_box=options.bounding_box,
+        )
         new_cache = cache
 
     alb = albedo_soa(meta, dev, hit0)
@@ -153,21 +180,44 @@ def render_sample(
         jnp.where(hit_first, hit0.normal.y, z),
         jnp.where(hit_first, hit0.normal.z, z),
     )
-    state = shade_soa(meta, dev, state, hit0, U[4], U[5], U[6])
+    do_sort = options.sort_by_material and meta.num_geoms > 1
+    pixel = jnp.arange(n, dtype=jnp.int32)
+    if do_sort:
+        state, hit0, pixel = _sort_wavefront(state, hit0, pixel)
+        state = shade_soa(
+            meta, dev, state, hit0, U[4][pixel], U[5][pixel], U[6][pixel]
+        )
+    else:
+        state = shade_soa(meta, dev, state, hit0, U[4], U[5], U[6])
 
     # ---- bounces 1..depth-1 ---------------------------------------------------
-    def bounce(carry: PathStateSoA, depth_idx):
-        def do(s: PathStateSoA) -> PathStateSoA:
-            h = intersect_soa(meta, dev, s.origin, s.direction, options.face_chunk)
+    def bounce(carry, depth_idx):
+        def do(c):
+            s, pix = c
+            h = intersect_soa(
+                meta, dev, s.origin, s.direction, options.face_chunk,
+                bounding_box=options.bounding_box,
+            )
             u = lax.dynamic_slice_in_dim(U, 4 + 3 * depth_idx, 3, axis=0)
-            return shade_soa(meta, dev, s, h, u[0], u[1], u[2])
+            if do_sort:
+                s, h, pix = _sort_wavefront(s, h, pix)
+                return shade_soa(meta, dev, s, h, u[0][pix], u[1][pix], u[2][pix]), pix
+            return shade_soa(meta, dev, s, h, u[0], u[1], u[2]), pix
 
-        any_alive = jnp.any(carry.remaining > 0)
-        carry = lax.cond(any_alive, do, lambda s: s, carry)
+        any_alive = jnp.any(carry[0].remaining > 0)
+        carry = lax.cond(any_alive, do, lambda c: c, carry)
         return carry, None
 
     if trace_depth > 1:
-        state, _ = lax.scan(bounce, state, jnp.arange(1, trace_depth))
+        (state, pixel), _ = lax.scan(bounce, (state, pixel), jnp.arange(1, trace_depth))
 
     color = Vec3(state.color.x * PI, state.color.y * PI, state.color.z * PI)
+    if do_sort:
+        # Scatter the sorted lanes back to pixel order (finalGather keys on
+        # pathSegments.pixelIndex the same way, pathtrace.cu:501-510).
+        color = Vec3(
+            jnp.zeros((n,), jnp.float32).at[pixel].set(color.x),
+            jnp.zeros((n,), jnp.float32).at[pixel].set(color.y),
+            jnp.zeros((n,), jnp.float32).at[pixel].set(color.z),
+        )
     return SampleOutput(color=color, albedo=albedo, normal=normal, cache=new_cache)

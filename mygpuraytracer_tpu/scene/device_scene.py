@@ -118,6 +118,11 @@ class GeomStatic:
     bump: int
     face_start: int
     face_count: int
+    # World-space AABB over this geom's faces (OBJ geoms only; zeros
+    # otherwise). Literals so the BOUNDING_BOX pre-test (pathtrace.cu:348-353,
+    # intersections.h:146-175) is pure register math.
+    aabb_min: tuple = (0.0, 0.0, 0.0)
+    aabb_max: tuple = (0.0, 0.0, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -334,6 +339,8 @@ def build_device_scene(
                 bump=int(geom_bump[gi]),
                 face_start=int(face_ranges[gi][0]),
                 face_count=int(face_ranges[gi][1]),
+                aabb_min=_t3(aabb_min[gi]),
+                aabb_max=_t3(aabb_max[gi]),
             )
         )
 

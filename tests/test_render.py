@@ -140,3 +140,58 @@ def test_normal_aov(cornell_small):
     # back wall normals point toward camera (+z)
     center = nrm[32, 32]
     assert abs(np.linalg.norm(center) - 1.0) < 1e-3
+
+
+def test_sort_by_material_identical_image(reference_scenes):
+    """Material-sorted execution (pathtrace.cu:590,612) must not change the
+    render: RNG streams follow the pixel id, so only lane order differs.
+    (Tolerance is for XLA fusion-order float variation between the two
+    compiled programs, ~1e-7 relative — not a semantic difference.)"""
+    s = load_scene(str(reference_scenes / "cornellObj.txt"))
+    s.set_resolution(48, 48)
+    imgs = {}
+    for flag in (False, True):
+        r = Renderer(s, RenderOptions(sort_by_material=flag), seed=3)
+        r.render(iterations=2)
+        imgs[flag] = r.beauty()
+    np.testing.assert_allclose(imgs[True], imgs[False], rtol=1e-5, atol=1e-6)
+
+
+def test_bounding_box_identical_image(reference_scenes):
+    """The AABB pre-test (pathtrace.cu:348-353) is a pure cull: every face of
+    a geom lies inside its AABB, so results are unchanged."""
+    s = load_scene(str(reference_scenes / "cornellObj.txt"))
+    s.set_resolution(48, 48)
+    imgs = {}
+    for flag in (False, True):
+        r = Renderer(
+            s,
+            RenderOptions(sort_by_material=False, bounding_box=flag),
+            seed=4,
+        )
+        r.render(iterations=2)
+        imgs[flag] = r.beauty()
+    np.testing.assert_allclose(imgs[True], imgs[False], rtol=1e-5, atol=1e-6)
+
+
+def test_bounding_box_culls_misses():
+    """Rays that miss every mesh AABB take the skip branch and report inf."""
+    import jax
+
+    from mygpuraytracer_tpu.ops import vec3 as v3
+    from mygpuraytracer_tpu.ops.trace import intersect_soa, mesh_aabb_mask
+    from mygpuraytracer_tpu.scene import load_scene as _ls
+
+    s = _ls("/root/reference/scenes/cornellObj.txt")
+    s.set_resolution(8, 8)
+    from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+
+    dev, meta = build_device_scene(s, 64)
+    n = 16
+    # rays pointing straight away from the scene: +z from far outside
+    o = v3.Vec3(*(jnp.full((n,), c) for c in (0.0, 5.0, 100.0)))
+    d = v3.Vec3(*(jnp.full((n,), c) for c in (0.0, 0.0, 1.0)))
+    mask = mesh_aabb_mask(meta, o, d)
+    assert not bool(np.asarray(mask).any())
+    hit = intersect_soa(meta, dev, o, d, 64, bounding_box=True)
+    assert np.isinf(np.asarray(hit.t)).all() or not np.asarray(hit.is_obj).any()
