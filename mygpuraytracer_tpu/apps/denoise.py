@@ -27,7 +27,14 @@ def parse_args(argv=None):
                    help="directional lightmap image (RTLightmap)")
     p.add_argument("--alb", metavar="FILE", help="albedo image")
     p.add_argument("--nrm", metavar="FILE", help="normal image")
-    p.add_argument("--clean_aux", action="store_true")
+    p.add_argument("--clean_aux", action="store_true",
+                   help="aux inputs are already noise-free (oidnDenoise parity: "
+                        "flag only, no prefiltering)")
+    p.add_argument("--prefilter_aux", action="store_true",
+                   help="denoise albedo/normal with the rt_alb/rt_nrm prefilter "
+                        "nets first, then run the main filter with cleanAux "
+                        "(calb/cnrm weights) — the pipeline the cleanAux weights "
+                        "are trained for (training/infer.py:46-52,71-78)")
     p.add_argument("--is", dest="input_scale", type=float, default=float("nan"))
     p.add_argument("-w", "--weights", metavar="FILE", help="custom weights .tza")
     p.add_argument("--maxmem", type=int, default=3000)
@@ -64,12 +71,27 @@ def main(argv=None) -> int:
     if color is not None:
         f.set_image("color", color)
         shape = color.shape
+    def prefilter(image: np.ndarray, kind: str) -> np.ndarray:
+        """Denoise an aux feature with its own net (rt_alb / rt_nrm) via an
+        aux-only RT filter (weight table core/unet.cpp:311-336)."""
+        pf = device.new_filter("RT")
+        pf.set_image(kind, image)
+        out = np.zeros_like(image)
+        pf.set_image("output", out)
+        pf.commit()
+        pf.execute()
+        return out
+
     if args.alb:
         alb = load_image(args.alb)
+        if args.prefilter_aux:
+            alb = prefilter(alb, "albedo")
         f.set_image("albedo", alb)
         shape = shape or alb.shape
     if args.nrm:
         nrm = load_image(args.nrm)
+        if args.prefilter_aux:
+            nrm = prefilter(nrm, "normal")
         f.set_image("normal", nrm)
         shape = shape or nrm.shape
     if shape is None:
@@ -81,7 +103,7 @@ def main(argv=None) -> int:
     if args.filter == "RT":
         f.set("hdr", hdr)
         f.set("srgb", args.srgb)
-        f.set("cleanAux", args.clean_aux)
+        f.set("cleanAux", args.clean_aux or args.prefilter_aux)
     else:
         f.set("directional", directional)
     f.set("maxMemoryMB", args.maxmem)

@@ -80,6 +80,65 @@ def _dihedral(img: np.ndarray, k: int) -> np.ndarray:
     return np.ascontiguousarray(np.rot90(img, k % 4))
 
 
+class ValidationDataset:
+    """Deterministic tile grid over each pair — no randomness, no
+    augmentation (reference ValidationDataset, training/dataset.py:414-460:
+    images are split into a fixed grid of tile_size tiles so the validation
+    loss is comparable across epochs and runs)."""
+
+    def __init__(self, directory: str, tile_size: int = 256):
+        self.tile = tile_size
+        self.pairs: list[tuple[str, str]] = []
+        for fn in sorted(os.listdir(directory)):
+            if fn.endswith(".input.npy"):
+                tgt = fn[: -len(".input.npy")] + ".target.npy"
+                if os.path.exists(os.path.join(directory, tgt)):
+                    self.pairs.append(
+                        (os.path.join(directory, fn), os.path.join(directory, tgt))
+                    )
+        if not self.pairs:
+            raise ValueError(f"no .input.npy/.target.npy pairs in {directory}")
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _load(self, path):
+        if path not in self._cache:
+            self._cache[path] = np.load(path).astype(np.float32)
+        return self._cache[path]
+
+    def tiles(self):
+        """Yields (input_tile, target_tile) over the deterministic grid."""
+        t = self.tile
+        for ip, tp in self.pairs:
+            x = self._load(ip)
+            y = self._load(tp)
+            h, w = x.shape[:2]
+            if h < t or w < t:
+                ph, pw = max(t - h, 0), max(t - w, 0)
+                x = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+                y = np.pad(y, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+                h, w = x.shape[:2]
+            for i in range(0, h - t + 1, t):
+                for j in range(0, w - t + 1, t):
+                    yield x[i : i + t, j : j + t], y[i : i + t, j : j + t]
+
+    def batches(self, batch_size: int):
+        """Yields ([B,T,T,C], [B,T,T,3]) batches; the last batch is padded by
+        repeating its first tile so shapes stay static (weights returned too)."""
+        xs, ys = [], []
+        for x, y in self.tiles():
+            xs.append(x)
+            ys.append(y)
+            if len(xs) == batch_size:
+                yield np.stack(xs), np.stack(ys), batch_size
+                xs, ys = [], []
+        if xs:
+            k = len(xs)
+            while len(xs) < batch_size:
+                xs.append(xs[0])
+                ys.append(ys[0])
+            yield np.stack(xs), np.stack(ys), k
+
+
 def render_training_pairs(
     scene_path: str,
     out_dir: str,

@@ -18,26 +18,58 @@ from .ssim import ssim as ssim_fn
 
 
 class Infer:
-    """Apply a trained U-Net to full images (HWC numpy in/out)."""
+    """Apply a trained U-Net to full images (HWC numpy in/out).
 
-    def __init__(self, params: dict, transfer: str = "srgb", hdr: bool = False):
+    Channel conventions mirror build_train_step's preprocess (and the
+    runtime's input packing, input_reorder.ispc): [:3] color (transfer
+    applied), [3:6] albedo (clamped to [0,1]), [6:9] normal (snorm-shifted
+    [-1,1] -> [0,1]). ``snorm`` switches the whole net to the
+    signed-normalized convention (the rt_nrm prefilter).
+
+    ``aux_infers``: optional {'albedo': Infer, 'normal': Infer} prefilter
+    chain (reference training/infer.py:46-52,71-78) — the aux channels are
+    denoised by their own nets (rt_alb / rt_nrm) before the main net runs.
+    The cleanAux (calb/cnrm) weights expect exactly this.
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        transfer: str = "srgb",
+        hdr: bool = False,
+        snorm: bool = False,
+        aux_infers: dict | None = None,
+    ):
         self.params = params
         self.transfer = color_mod.make_transfer(transfer)
         self.hdr = hdr
+        self.snorm = snorm
+        self.aux_infers = aux_infers or {}
         self._jitted = {}
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
-        """image: HxWxC (C matches the weights' input channels); the first 3
-        channels are treated as color (transfer applied), the rest as
-        auxiliary features (clamped only)."""
         h, w, c = image.shape
+
+        if self.aux_infers and c >= 6:
+            image = np.array(image, np.float32, copy=True)
+            if "albedo" in self.aux_infers:
+                image[..., 3:6] = self.aux_infers["albedo"](image[..., 3:6])
+            if "normal" in self.aux_infers and c >= 9:
+                image[..., 6:9] = self.aux_infers["normal"](image[..., 6:9])
+
         hp, wp = round_up(h, UNET_ALIGNMENT), round_up(w, UNET_ALIGNMENT)
         x = jnp.zeros((hp, wp, c), jnp.float32).at[:h, :w].set(jnp.asarray(image))
 
-        color = color_mod.sanitize(x[..., :3], 0.0, jnp.inf if self.hdr else 1.0)
-        color = self.transfer.forward(color * self.transfer.input_scale)
-        aux = color_mod.sanitize(x[..., 3:], 0.0, 1.0)
-        x = jnp.concatenate([color, aux], axis=-1)
+        if self.snorm:
+            x = color_mod.sanitize(x[..., :3], -1.0, 1.0) * 0.5 + 0.5
+        else:
+            color = color_mod.sanitize(x[..., :3], 0.0, jnp.inf if self.hdr else 1.0)
+            parts = [self.transfer.forward(color * self.transfer.input_scale)]
+            if c >= 6:
+                parts.append(color_mod.sanitize(x[..., 3:6], 0.0, 1.0))
+            if c >= 9:
+                parts.append(color_mod.sanitize(x[..., 6:9], -1.0, 1.0) * 0.5 + 0.5)
+            x = jnp.concatenate(parts, axis=-1)
 
         fn = self._jitted.get((hp, wp, c))
         if fn is None:
@@ -45,10 +77,13 @@ class Infer:
             self._jitted[(hp, wp, c)] = fn
         y = fn(self.params, x)
 
-        y = color_mod.sanitize(y, 0.0, jnp.inf)
-        y = self.transfer.inverse(y) * self.transfer.output_scale
-        if not self.hdr:
-            y = jnp.minimum(y, 1.0)
+        if self.snorm:
+            y = jnp.clip(y, 0.0, 1.0) * 2.0 - 1.0
+        else:
+            y = color_mod.sanitize(y, 0.0, jnp.inf)
+            y = self.transfer.inverse(y) * self.transfer.output_scale
+            if not self.hdr:
+                y = jnp.minimum(y, 1.0)
         return np.asarray(y[:h, :w])
 
 

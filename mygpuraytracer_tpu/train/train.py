@@ -29,7 +29,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..denoise.unet import init_unet_params, unet_apply
-from .dataset import TileDataset
+from .dataset import TileDataset, ValidationDataset
 from .losses import get_loss_function
 
 
@@ -39,6 +39,10 @@ class TrainConfig:
     l1_msssim loss, mixed precision."""
 
     data_dir: str = ""
+    # Validation pairs directory (deterministic tile grid, evaluated every
+    # valid_epochs — reference training/train.py:228-269). Empty -> uses
+    # <data_dir>/valid when that exists, else validation is skipped.
+    valid_dir: str = ""
     result_dir: str = "results/rt"
     in_channels: int = 6  # color+albedo
     loss: str = "l1_msssim"
@@ -161,6 +165,66 @@ def build_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None):
     return step, batch_sharding
 
 
+def build_eval_step(cfg: TrainConfig, mesh: Mesh | None):
+    """Per-example validation losses [B] (no grad). The per-example form lets
+    the caller weight out the repeated tiles that pad the final batch."""
+    from ..denoise import color as color_mod
+
+    loss_fn = get_loss_function(cfg.loss)
+    compute_dtype = jnp.bfloat16 if cfg.precision == "mixed" else jnp.float32
+    tf = color_mod.make_transfer(cfg.transfer)
+
+    def preprocess(x, y):
+        if cfg.snorm:
+            col = color_mod.sanitize(x[..., :3], -1.0, 1.0) * 0.5 + 0.5
+            y = color_mod.sanitize(y, -1.0, 1.0) * 0.5 + 0.5
+            return col, y
+        hi = jnp.inf if cfg.hdr else 1.0
+        col = tf.forward(color_mod.sanitize(x[..., :3], 0.0, hi))
+        parts = [col]
+        if cfg.in_channels >= 6:
+            parts.append(color_mod.sanitize(x[..., 3:6], 0.0, 1.0))
+        if cfg.in_channels >= 9:
+            parts.append(color_mod.sanitize(x[..., 6:9], -1.0, 1.0) * 0.5 + 0.5)
+        return jnp.concatenate(parts, axis=-1), tf.forward(
+            color_mod.sanitize(y, 0.0, hi)
+        )
+
+    def eval_step(params, x, y):
+        x, y = preprocess(x, y)
+        pred = unet_apply(params, x.astype(compute_dtype)).astype(jnp.float32)
+        return jax.vmap(lambda p, t: loss_fn(p[None], t[None]))(pred, y)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    batch_sharding = NamedSharding(mesh, P("dp"))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        eval_step,
+        in_shardings=(replicated, batch_sharding, batch_sharding),
+        out_shardings=batch_sharding,
+    )
+
+
+def validate(cfg: TrainConfig, params, valid_ds: ValidationDataset, eval_fn,
+             batch_sharding=None) -> float:
+    """Mean loss over the deterministic validation tile grid
+    (training/train.py:228-269; the reference's dist.all_reduce of the
+    per-rank sums is XLA's job here — eval_fn is sharded over the mesh)."""
+    total, count = 0.0, 0
+    for x, y, k in valid_ds.batches(cfg.batch_size):
+        if x.shape[-1] > cfg.in_channels:
+            x = x[..., : cfg.in_channels]
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        if batch_sharding is not None:
+            x = jax.device_put(x, batch_sharding)
+            y = jax.device_put(y, batch_sharding)
+        losses = np.asarray(eval_fn(params, x, y))
+        total += float(losses[:k].sum())
+        count += k
+    return total / max(count, 1)
+
+
 def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):
     """Run training; returns final params. Auto-resumes from result_dir."""
     dataset = TileDataset(cfg.data_dir, cfg.tile_size, seed=cfg.seed)
@@ -189,6 +253,16 @@ def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):
         start_epoch = ckpt["epoch"]
 
     step_fn, batch_sharding = build_train_step(cfg, optimizer, mesh)
+
+    valid_dir = cfg.valid_dir or os.path.join(cfg.data_dir, "valid")
+    valid_ds, eval_fn = None, None
+    if os.path.isdir(valid_dir):
+        try:
+            valid_ds = ValidationDataset(valid_dir, cfg.tile_size)
+            eval_fn = build_eval_step(cfg, mesh)
+        except ValueError:
+            valid_ds = None
+
     log_path = os.path.join(cfg.result_dir, "log.jsonl")
     os.makedirs(cfg.result_dir, exist_ok=True)
 
@@ -215,6 +289,10 @@ def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):
             "lr": float(schedule(step)),
             "images_per_sec": cfg.steps_per_epoch * cfg.batch_size / (time.time() - t0),
         }
+        if valid_ds is not None and (
+            (epoch + 1) % cfg.valid_epochs == 0 or epoch + 1 == cfg.num_epochs
+        ):
+            rec["valid_loss"] = validate(cfg, params, valid_ds, eval_fn, batch_sharding)
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if log_fn:

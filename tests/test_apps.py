@@ -104,3 +104,34 @@ def test_hdr_roundtrip(tmp_path):
     # shared-exponent format: absolute precision ~ pixel_max/128 per channel
     tol = img.max(axis=-1, keepdims=True) / 64 + 1e-4
     assert (np.abs(back - img) <= tol).all()
+
+
+def test_denoise_cli_prefilter_aux(tmp_path):
+    """--prefilter_aux denoises albedo/normal with rt_alb/rt_nrm first and
+    runs the main filter with cleanAux (calb/cnrm weights) —
+    training/infer.py:46-52,71-78 as a CLI pipeline."""
+    from mygpuraytracer_tpu.apps.denoise import main
+    from mygpuraytracer_tpu.utils.image_io import load_image, write_pfm
+
+    rng = np.random.default_rng(1)
+    write_pfm(str(tmp_path / "c.pfm"), rng.random((32, 32, 3)).astype(np.float32))
+    write_pfm(str(tmp_path / "a.pfm"), rng.random((32, 32, 3)).astype(np.float32))
+    write_pfm(
+        str(tmp_path / "n.pfm"),
+        (rng.random((32, 32, 3)) * 2 - 1).astype(np.float32),
+    )
+    common = [
+        "--ldr", str(tmp_path / "c.pfm"),
+        "--alb", str(tmp_path / "a.pfm"),
+        "--nrm", str(tmp_path / "n.pfm"),
+    ]
+    rc = main(common + ["--prefilter_aux", "-o", str(tmp_path / "out.pfm")])
+    assert rc == 0
+    out = load_image(str(tmp_path / "out.pfm"))
+    assert out.shape == (32, 32, 3) and np.isfinite(out).all()
+    # and it differs from the non-prefiltered cleanAux run (the prefilter
+    # nets change the aux features)
+    rc = main(common + ["--clean_aux", "-o", str(tmp_path / "out2.pfm")])
+    assert rc == 0
+    out2 = load_image(str(tmp_path / "out2.pfm"))
+    assert np.abs(out - out2).max() > 0
