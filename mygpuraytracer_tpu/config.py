@@ -37,6 +37,12 @@ class RenderOptions:
     # mesh AABB skip the face stream (scalar lax.cond over the wavefront).
     bounding_box: bool = False
     ai_denoise: bool = True
+    # Emit the SH-L1 directional lightmap AOV (luminance-weighted mean
+    # first-bounce incident direction, normalized to [-1,1]) — training data
+    # for the RTLightmap directional filter (core/unet.cpp:744-763,
+    # rtlightmap_dir weights). Wavefront path only; forces sorting off so
+    # the first-bounce directions stay in pixel lane order.
+    dir_aov: bool = False
     # Stratified-jitter hemisphere variant (interactions.h:5,47-86). The
     # sampler exists (ops.sampling.jittered_sample_hemisphere) but, like the
     # reference default, is compiled out of the shade path.

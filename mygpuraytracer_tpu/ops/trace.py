@@ -493,6 +493,132 @@ def intersect_soa(
     )
 
 
+def mesh_cluster_hit(meta, fp_ref, o: Vec3, d: Vec3, t_cap):
+    """Megakernel BVH tier: nearest mesh face closer than ``t_cap``.
+
+    The device face buffer is laid out in CLUSTER_SIZE(=128)-face Morton
+    clusters (scene/device_scene.py build_clusters) whose world AABBs are
+    program literals (meta.mesh_clusters). Per cluster, a scalar
+    ``any(ray enters AABB before its current hit)`` lax.cond skips the whole
+    visit; a visited cluster streams its 128 faces as (1,128) lane rows
+    rolled one lane per step against the ray block — ray lane j tests face
+    (j+k)%128 at step k, so 128 steps cover all (ray, face) pairs with no
+    gathers and no transposes. Faces are in plane form (fn, c, U, cu, V, cv:
+    t = (c - fn.o)/(fn.d), u = (x-v0).U, v = (x-v0).V), replacing the
+    reference's per-ray Moller-Trumbore loop (intersections.h:207-282,
+    pathtrace.cu:331 "todo BVH" — the BVH the reference never built).
+
+    Shape-agnostic over the ray block (the megakernel calls it on (8,128)
+    sub-blocks for finer cond granularity). Returns (win, t, fn Vec3
+    (unnormalized), geom f32): ``win`` marks lanes whose nearest hit is now a
+    mesh face.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    shape = o.x.shape
+    CS = meta.cluster_size
+    zeros = jnp.zeros(shape, jnp.float32)
+
+    eps = 1e-20
+    ix = 1.0 / jnp.where(jnp.abs(d.x) < eps, eps, d.x)
+    iy = 1.0 / jnp.where(jnp.abs(d.y) < eps, eps, d.y)
+    iz = 1.0 / jnp.where(jnp.abs(d.z) < eps, eps, d.z)
+
+    best = (t_cap, zeros, zeros, zeros, zeros - 1.0)  # t, fn xyz, geom(-1)
+
+    def visit_cluster(c, best):
+        def body(best):
+            # Two (8,128) quantity blocks (rows: fn xyz, c, U xyz, cu | V
+            # xyz, cv, geom, pad) — rolled whole per step: 2 rolls, and no
+            # single-sublane arrays in the loop carry.
+            blk_a = fp_ref[0:8, c * CS : (c + 1) * CS]
+            blk_b = fp_ref[8:16, c * CS : (c + 1) * CS]
+
+            def step(k, carry):
+                bt, bx, by, bz, bg, a, b = carry
+                fnx, fny, fnz = a[0:1], a[1:2], a[2:3]
+                cc, ux, uy, uz, cu = a[3:4], a[4:5], a[5:6], a[6:7], a[7:8]
+                vx, vy, vz, cv, gid = b[0:1], b[1:2], b[2:3], b[3:4], b[4:5]
+                A = o.x * fnx + o.y * fny + o.z * fnz
+                B = d.x * fnx + d.y * fny + d.z * fnz
+                B = jnp.where(jnp.abs(B) < eps, eps, B)
+                t = (cc - A) / B
+                du = d.x * ux + d.y * uy + d.z * uz
+                ou = o.x * ux + o.y * uy + o.z * uz
+                u = ou + t * du - cu
+                dv = d.x * vx + d.y * vy + d.z * vz
+                ov = o.x * vx + o.y * vy + o.z * vz
+                v = ov + t * dv - cv
+                ok = (
+                    (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > HIT_EPS) & (t < bt)
+                )
+                bt = jnp.where(ok, t, bt)
+                bx = jnp.where(ok, fnx + zeros, bx)
+                by = jnp.where(ok, fny + zeros, by)
+                bz = jnp.where(ok, fnz + zeros, bz)
+                bg = jnp.where(ok, gid + zeros, bg)
+                return (bt, bx, by, bz, bg,
+                        pltpu.roll(a, 1, 1), pltpu.roll(b, 1, 1))
+
+            out = lax.fori_loop(0, CS, step, best + (blk_a, blk_b))
+            return out[:5]
+
+        bmin, bmax = meta.mesh_clusters[c]
+        t1 = (bmin[0] - o.x) * ix
+        t2 = (bmax[0] - o.x) * ix
+        u1 = (bmin[1] - o.y) * iy
+        u2 = (bmax[1] - o.y) * iy
+        v1 = (bmin[2] - o.z) * iz
+        v2 = (bmax[2] - o.z) * iz
+        tin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)),
+            jnp.minimum(v1, v2),
+        )
+        tout = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)),
+            jnp.maximum(v1, v2),
+        )
+        m = (tout >= jnp.maximum(tin, 0.0)) & (tin < best[0])
+        return lax.cond(jnp.any(m), body, lambda b: b, best)
+
+    for c in range(len(meta.mesh_clusters)):
+        best = visit_cluster(c, best)
+
+    bt, bx, by, bz, bg = best
+    win = bg >= 0.0
+    return win, bt, Vec3(bx, by, bz), bg
+
+
+def bvh_scene_hit(meta, fp_ref, o: Vec3, d: Vec3) -> HitSoA:
+    """primitives_hit + the cluster BVH mesh tier, materials resolved.
+
+    The megakernel entry for large-mesh scenes (> MEGA_FACE_CAP faces, no
+    textures). Semantics match intersect_soa's mesh merge minus texcoords.
+    """
+    (t_best, normal, is_obj, col, spec, spec_ex, refl, refr, ior, emit,
+     mat_id, uu, vv, kd, ks, ke, bump, set_mat) = intersect_primitives_soa(meta, o, d)
+
+    win, mt, fn, gf = mesh_cluster_hit(meta, fp_ref, o, d, t_best)
+    t_best = jnp.where(win, mt, t_best)
+    normal = v3.where(win, v3.normalize(fn), normal)
+    is_obj = is_obj | win
+    for gi, g in enumerate(meta.geoms):
+        if g.type != int(GeomType.OBJ):
+            continue
+        sel = win & (jnp.abs(gf - gi) < 0.5)
+        (col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump) = set_mat(
+            sel, g, col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump
+        )
+
+    hit = jnp.isfinite(t_best)
+    return HitSoA(
+        t=t_best, hit=hit, normal=normal, is_obj=is_obj, color=col,
+        spec_color=spec, spec_ex=spec_ex, refl=refl, refr=refr, ior=ior,
+        emit=emit, material_id=mat_id, u=uu, v=vv, kd=kd, ks=ks, ke=ke, bump=bump,
+    )
+
+
 def fetch_texel_soa(dev, tex_id, u, v):
     """Nearest texel fetch (gather path — textured OBJ scenes only)."""
     meta = dev.tex_meta[tex_id]  # [N,4] gather

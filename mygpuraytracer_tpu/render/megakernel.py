@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import vec3 as v3
-from ..ops.trace import primitives_hit
+from ..ops.trace import bvh_scene_hit, primitives_hit
 from ..ops.vec3 import Vec3
 from .shade import PathStateSoA, albedo_soa, shade_soa
 
@@ -41,15 +41,28 @@ PI = math.pi
 
 ROWS = 32  # rays per tile = ROWS x 128
 LANES = 128
+# Rows per mesh sub-block: the BVH tier's cluster-skip lax.conds fire per
+# sub-block, so smaller blocks skip more of the mesh per visit (at more cond
+# overhead). 8 = one f32 vreg row.
+MESH_SUB_ROWS = 8
 
 _MIX = int(np.int32(np.uint32(0x9E3779B1)))  # golden-ratio odd constant (python int)
 
 
+def _uses_bvh(meta) -> bool:
+    """Large meshes take the cluster-BVH tier; small ones stay literal."""
+    small = meta.mega_faces and len(meta.mega_faces) == meta.num_faces
+    return bool(meta.has_obj and not small and meta.mesh_clusters)
+
+
 def supports_megakernel(meta, options) -> bool:
-    """Primitive scenes, plus small meshes baked as literals (mega_faces);
-    textured scenes and large meshes fall back to the wavefront path."""
-    mesh_ok = (not meta.has_obj) or (
-        meta.mega_faces and len(meta.mega_faces) == meta.num_faces
+    """Primitive scenes, small literal-baked meshes (mega_faces), and large
+    meshes via the cluster-BVH tier; textured scenes fall back to the
+    wavefront path."""
+    mesh_ok = (
+        (not meta.has_obj)
+        or (meta.mega_faces and len(meta.mega_faces) == meta.num_faces)
+        or bool(meta.mesh_clusters)
     )
     return bool(
         mesh_ok
@@ -68,8 +81,26 @@ def _make_kernel(meta, options):
     width, height = meta.resolution
     trace_depth = meta.trace_depth
     shape = (ROWS, LANES)
+    use_bvh = _uses_bvh(meta)
 
-    def trace_one(iteration, cam_ref, in_image):
+    def scene_hit(fp_ref, o, d):
+        if not use_bvh:
+            return primitives_hit(meta, o, d)
+        # BVH tier on sub-blocks: finer scalar cond granularity means a
+        # sub-block whose rays all miss a cluster AABB skips its 128 faces.
+        parts = []
+        for s in range(0, ROWS, MESH_SUB_ROWS):
+            e = s + MESH_SUB_ROWS
+            parts.append(
+                bvh_scene_hit(
+                    meta, fp_ref,
+                    Vec3(o.x[s:e], o.y[s:e], o.z[s:e]),
+                    Vec3(d.x[s:e], d.y[s:e], d.z[s:e]),
+                )
+            )
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+    def trace_one(iteration, cam_ref, fp_ref, in_image):
         """One camera sample for this tile; returns (color Vec3, albedo Vec3)."""
         pid = pl.program_id(0)
         base = pid * (ROWS * LANES)
@@ -124,7 +155,7 @@ def _make_kernel(meta, options):
         )
 
         # bounce 0 (always) — also captures the AOVs
-        hit0 = primitives_hit(meta, state.origin, state.direction)
+        hit0 = scene_hit(fp_ref, state.origin, state.direction)
         albedo = albedo_soa(meta, None, hit0)
         first_hit = hit0
         state = shade_soa(
@@ -132,17 +163,25 @@ def _make_kernel(meta, options):
         )
 
         def bounce(s: PathStateSoA) -> PathStateSoA:
-            h = primitives_hit(meta, s.origin, s.direction)
+            h = scene_hit(fp_ref, s.origin, s.direction)
             return shade_soa(
                 meta, None, s, h, _uniform(shape), _uniform(shape), _uniform(shape)
             )
 
-        for depth in range(1, trace_depth):
+        def guarded_bounce(s: PathStateSoA) -> PathStateSoA:
             # Tile-level early exit: rays in a tile die together for coherent
             # tiles (misses, light hits); skip whole bounces when none live.
-            state = lax.cond(
-                jnp.any(state.remaining > 0), bounce, lambda s: s, state
+            return lax.cond(jnp.any(s.remaining > 0), bounce, lambda x: x, s)
+
+        if use_bvh:
+            # fori, not unroll: the BVH tier's cluster scan would multiply
+            # the program by trace_depth otherwise (compile-time blowup).
+            state = lax.fori_loop(
+                1, trace_depth, lambda i, s: guarded_bounce(s), state
             )
+        else:
+            for depth in range(1, trace_depth):
+                state = guarded_bounce(state)
 
         mask = in_image.astype(jnp.float32)
         color = Vec3(
@@ -156,7 +195,7 @@ def _make_kernel(meta, options):
         return color, albedo, normal
 
     def kernel(
-        seed_ref, start_ref, niter_ref, cam_ref,
+        seed_ref, start_ref, niter_ref, cam_ref, fp_ref,
         in_r, in_g, in_b, in_ar, in_ag, in_ab, in_nr, in_ng, in_nb,
         r_ref, g_ref, b_ref, ar_ref, ag_ref, ab_ref, nr_ref, ng_ref, nb_ref,
     ):
@@ -173,7 +212,7 @@ def _make_kernel(meta, options):
             # Stream depends on (seed, iteration, block) only — batching-
             # independent and reproducible.
             pltpu.prng_seed((seed_ref[0] + iteration) * jnp.int32(_MIX) + pid)
-            color, a, nn = trace_one(iteration, cam_ref, in_image)
+            color, a, nn = trace_one(iteration, cam_ref, fp_ref, in_image)
             img = Vec3(img.x + color.x, img.y + color.y, img.z + color.z)
             first = jnp.full(shape, iteration == 1)
             alb = v3.where(first, a, alb)
@@ -204,7 +243,7 @@ def _pad_to_tiles(n: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("meta", "options"))
 def megakernel_accumulate(
-    meta, options, camera, image: Vec3, albedo: Vec3, normal: Vec3,
+    meta, options, camera, face_plane, image: Vec3, albedo: Vec3, normal: Vec3,
     start_iteration, num_iters, base_key,
 ):
     """Accumulate ``num_iters`` MC iterations into (image, albedo, normal)
@@ -221,6 +260,9 @@ def megakernel_accumulate(
         [camera.position, camera.view, camera.up, camera.right, camera.pixel_length]
     ).astype(jnp.float32)
 
+    if not _uses_bvh(meta):
+        face_plane = jnp.zeros((16, LANES), jnp.float32)  # unused dummy
+
     def to2d(a):
         return jnp.zeros((n_pad,), jnp.float32).at[:n].set(a).reshape(n_pad // LANES, LANES)
 
@@ -228,19 +270,21 @@ def megakernel_accumulate(
 
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)] * 9
     outs = pl.pallas_call(
         _make_kernel(meta, options),
         grid=grid,
-        in_specs=[smem, smem, smem, smem] + [spec] * 9,
+        in_specs=[smem, smem, smem, smem, vmem_full] + [spec] * 9,
         out_specs=[spec] * 9,
         out_shape=out_shape,
-        input_output_aliases={4 + k: k for k in range(9)},
+        input_output_aliases={5 + k: k for k in range(9)},
     )(
         seed,
         jnp.asarray(start_iteration, jnp.int32).reshape(1),
         jnp.asarray(num_iters, jnp.int32).reshape(1),
         cam_vec,
+        face_plane,
         *ins2d,
     )
 
@@ -249,7 +293,7 @@ def megakernel_accumulate(
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "options"))
-def megakernel_sample(meta, options, camera, iteration, base_key):
+def megakernel_sample(meta, options, camera, face_plane, iteration, base_key):
     """One full MC iteration via the megakernel (render_sample-compatible).
 
     Returns (color, albedo, normal) Vec3 [N] triples — this sample's
@@ -262,6 +306,7 @@ def megakernel_sample(meta, options, camera, iteration, base_key):
         meta,
         options,
         camera,
+        face_plane,
         Vec3(z(), z(), z()),
         Vec3(z(), z(), z()),
         Vec3(z(), z(), z()),

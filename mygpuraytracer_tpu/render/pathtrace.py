@@ -48,6 +48,12 @@ class SampleOutput(NamedTuple):
     albedo: Vec3  # [N] triple — zero except at iteration 1
     normal: Vec3  # [N] triple — first-hit shading normal, zero except iter 1
     cache: HitSoA  # updated first-bounce cache
+    # SH-L1 directional AOV (options.dir_aov): first-bounce scatter direction
+    # weighted by this sample's path luminance, plus the luminance itself —
+    # accumulating both and dividing yields the normalized [-1,1] mean
+    # incident direction the rtlightmap_dir filter consumes.
+    dirmap: Vec3 | None = None
+    dirlum: jnp.ndarray | None = None
 
 
 def make_empty_cache(n: int) -> HitSoA:
@@ -115,12 +121,12 @@ def render_sample(
     n = width * height
     trace_depth = meta.trace_depth
 
-    if options.megakernel:
+    if options.megakernel and not options.dir_aov:
         from .megakernel import megakernel_sample, supports_megakernel
 
         if supports_megakernel(meta, options):
             color, alb, nrm = megakernel_sample(
-                meta, options, dev.camera, iteration, base_key
+                meta, options, dev.camera, dev.face_plane, iteration, base_key
             )
             first = iteration == 1
             z = lambda: jnp.zeros((n,), jnp.float32)
@@ -180,7 +186,7 @@ def render_sample(
         jnp.where(hit_first, hit0.normal.y, z),
         jnp.where(hit_first, hit0.normal.z, z),
     )
-    do_sort = options.sort_by_material and meta.num_geoms > 1
+    do_sort = options.sort_by_material and meta.num_geoms > 1 and not options.dir_aov
     pixel = jnp.arange(n, dtype=jnp.int32)
     if do_sort:
         state, hit0, pixel = _sort_wavefront(state, hit0, pixel)
@@ -208,6 +214,12 @@ def render_sample(
         carry = lax.cond(any_alive, do, lambda c: c, carry)
         return carry, None
 
+    if options.dir_aov:
+        # First-bounce scatter direction of lanes that survived bounce 0
+        # (miss / light-hit / depth-exhausted lanes carry no direction).
+        dir0 = state.direction
+        alive0 = state.remaining > 0
+
     if trace_depth > 1:
         (state, pixel), _ = lax.scan(bounce, (state, pixel), jnp.arange(1, trace_depth))
 
@@ -220,4 +232,13 @@ def render_sample(
             jnp.zeros((n,), jnp.float32).at[pixel].set(color.y),
             jnp.zeros((n,), jnp.float32).at[pixel].set(color.z),
         )
-    return SampleOutput(color=color, albedo=albedo, normal=normal, cache=new_cache)
+    dirmap, dirlum = None, None
+    if options.dir_aov:
+        lum = 0.2126 * color.x + 0.7152 * color.y + 0.0722 * color.z
+        w_lum = jnp.where(alive0, lum, 0.0)
+        dirmap = Vec3(dir0.x * w_lum, dir0.y * w_lum, dir0.z * w_lum)
+        dirlum = w_lum
+    return SampleOutput(
+        color=color, albedo=albedo, normal=normal, cache=new_cache,
+        dirmap=dirmap, dirlum=dirlum,
+    )

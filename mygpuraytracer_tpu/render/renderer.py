@@ -40,60 +40,68 @@ def _first_select(first, new: Vec3, old: Vec3) -> Vec3:
     )
 
 
-def _accumulate(image: Vec3, albedo_acc: Vec3, normal_acc: Vec3, out, iteration):
+def _accumulate(image: Vec3, albedo_acc: Vec3, normal_acc: Vec3, dir_acc, out, iteration):
     image = Vec3(image.x + out.color.x, image.y + out.color.y, image.z + out.color.z)
     first = iteration == 1
     albedo_acc = _first_select(first, out.albedo, albedo_acc)
     normal_acc = _first_select(first, out.normal, normal_acc)
-    return image, albedo_acc, normal_acc
+    if out.dirmap is not None:
+        dm, dl = dir_acc
+        dir_acc = (
+            Vec3(dm.x + out.dirmap.x, dm.y + out.dirmap.y, dm.z + out.dirmap.z),
+            dl + out.dirlum,
+        )
+    return image, albedo_acc, normal_acc, dir_acc
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "options"),
-    donate_argnames=("image", "albedo_acc", "normal_acc", "cache"),
+    donate_argnames=("image", "albedo_acc", "normal_acc", "dir_acc", "cache"),
 )
 def _iteration_step(
-    dev, meta, options, image, albedo_acc, normal_acc, cache, iteration, base_key
+    dev, meta, options, image, albedo_acc, normal_acc, dir_acc, cache,
+    iteration, base_key,
 ):
     out = render_sample(dev, meta, options, iteration, base_key, cache)
-    image, albedo_acc, normal_acc = _accumulate(
-        image, albedo_acc, normal_acc, out, iteration
+    image, albedo_acc, normal_acc, dir_acc = _accumulate(
+        image, albedo_acc, normal_acc, dir_acc, out, iteration
     )
-    return image, albedo_acc, normal_acc, out.cache
+    return image, albedo_acc, normal_acc, dir_acc, out.cache
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "options"),
-    donate_argnames=("image", "albedo_acc", "normal_acc", "cache"),
+    donate_argnames=("image", "albedo_acc", "normal_acc", "dir_acc", "cache"),
 )
 def _multi_step(
-    dev, meta, options, image, albedo_acc, normal_acc, cache,
+    dev, meta, options, image, albedo_acc, normal_acc, dir_acc, cache,
     start_iteration, num_iters, base_key,
 ):
-    if options.megakernel:
+    if options.megakernel and not options.dir_aov:
         from .megakernel import megakernel_accumulate, supports_megakernel
 
         if supports_megakernel(meta, options):
             # The whole batch accumulates inside ONE kernel (VMEM-resident).
             image, albedo_acc, normal_acc = megakernel_accumulate(
-                meta, options, dev.camera, image, albedo_acc, normal_acc,
+                meta, options, dev.camera, dev.face_plane,
+                image, albedo_acc, normal_acc,
                 start_iteration, num_iters, base_key,
             )
-            return image, albedo_acc, normal_acc, cache
+            return image, albedo_acc, normal_acc, dir_acc, cache
 
     def body(i, carry):
-        image, albedo_acc, normal_acc, cache = carry
+        image, albedo_acc, normal_acc, dir_acc, cache = carry
         iteration = start_iteration + i
         out = render_sample(dev, meta, options, iteration, base_key, cache)
-        image, albedo_acc, normal_acc = _accumulate(
-            image, albedo_acc, normal_acc, out, iteration
+        image, albedo_acc, normal_acc, dir_acc = _accumulate(
+            image, albedo_acc, normal_acc, dir_acc, out, iteration
         )
-        return (image, albedo_acc, normal_acc, out.cache)
+        return (image, albedo_acc, normal_acc, dir_acc, out.cache)
 
     return jax.lax.fori_loop(
-        0, num_iters, body, (image, albedo_acc, normal_acc, cache)
+        0, num_iters, body, (image, albedo_acc, normal_acc, dir_acc, cache)
     )
 
 
@@ -118,6 +126,7 @@ class Renderer:
         self.image = Vec3(zeros(), zeros(), zeros())
         self.albedo = Vec3(zeros(), zeros(), zeros())
         self.normal = Vec3(zeros(), zeros(), zeros())
+        self.dir_acc = (Vec3(zeros(), zeros(), zeros()), zeros())
         self.cache = make_empty_cache(n)
         self.iteration = 0
 
@@ -136,13 +145,14 @@ class Renderer:
     def step(self) -> int:
         """Run one MC iteration; returns the new iteration count."""
         self.iteration += 1
-        self.image, self.albedo, self.normal, self.cache = _iteration_step(
+        self.image, self.albedo, self.normal, self.dir_acc, self.cache = _iteration_step(
             self.dev,
             self.meta,
             self.options,
             self.image,
             self.albedo,
             self.normal,
+            self.dir_acc,
             self.cache,
             jnp.int32(self.iteration),
             self.base_key,
@@ -151,13 +161,14 @@ class Renderer:
 
     def step_many(self, num_iters: int) -> int:
         """Run ``num_iters`` MC iterations in one device dispatch."""
-        self.image, self.albedo, self.normal, self.cache = _multi_step(
+        self.image, self.albedo, self.normal, self.dir_acc, self.cache = _multi_step(
             self.dev,
             self.meta,
             self.options,
             self.image,
             self.albedo,
             self.normal,
+            self.dir_acc,
             self.cache,
             jnp.int32(self.iteration + 1),
             jnp.int32(num_iters),
@@ -231,6 +242,16 @@ class Renderer:
         """First-hit shading normals in [-1,1] (AOV the reference lacks;
         feeds OIDN's alb+nrm quality tier)."""
         return self._to_hw3(self.normal)
+
+    def dir_image(self) -> np.ndarray:
+        """Normalized SH-L1 directional lightmap in [-1,1] (options.dir_aov):
+        luminance-weighted mean first-bounce incident direction per pixel —
+        the RTLightmap directional filter's input (core/unet.cpp:744-763)."""
+        dm, dl = self.dir_acc
+        w = np.maximum(np.asarray(dl), 1e-8)[:, None]
+        arr = np.stack([np.asarray(dm.x), np.asarray(dm.y), np.asarray(dm.z)], -1) / w
+        wdt, h = self.meta.resolution
+        return np.clip(arr.reshape(h, wdt, 3), -1.0, 1.0)
 
     def raw_accumulator(self) -> np.ndarray:
         return self._to_hw3(self.image)

@@ -72,6 +72,13 @@ class DeviceScene(NamedTuple):
     # slice-by-column is a strided load on TPU; flat [F] columns stream clean.
     face_cols: tuple  # 9x f32[F]: v0x v0y v0z e1x e1y e1z e2x e2y e2z
     face_uv_cols: tuple  # 6x f32[F]: uv0u uv0v uv1u uv1v uv2u uv2v
+    # Plane-form triangle constants for the megakernel BVH tier,
+    # quantity-major so cluster c of quantity q is the clean 128-aligned
+    # lane slice [q, c*128:(c+1)*128]. Rows: fn(3), c=fn.v0, U(3), cu=U.v0,
+    # V(3), cv=V.v0, geom, pad — where (U, V) is the dual basis of (e1, e2)
+    # in the triangle plane: the barycentric test is u = (x-v0).U,
+    # v = (x-v0).V with x the ray/plane intersection.
+    face_plane: jnp.ndarray  # f32[16, Fp], Fp = F padded to CLUSTER_SIZE
 
     # Materials [M]
     mat_color: jnp.ndarray  # f32[M,3]
@@ -125,6 +132,56 @@ class GeomStatic:
     aabb_max: tuple = (0.0, 0.0, 0.0)
 
 
+def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """30-bit 3D Morton code (10 bits/axis) — same curve as the native
+    loader's face ordering (native/objload.cpp)."""
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+        return v
+
+    return spread(x) | (spread(y) << np.uint64(1)) | (spread(z) << np.uint64(2))
+
+
+# Faces per BVH leaf cluster. 128 = one face per vector lane, so a cluster
+# visit is pure (faces-in-sublanes x rays-in-lanes) panel math from static
+# VMEM slices; scripts/sim_union.py sizes the per-tile visit counts.
+CLUSTER_SIZE = 128
+
+
+def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                   cluster_size: int = CLUSTER_SIZE):
+    """Morton-order world-space triangles and group them into uniform leaf
+    clusters with AABBs — the flat leaf level of the wide BVH (the
+    north-star's stackless-wide-BVH prescription; the reference has no BVH
+    at all, pathtrace.cu:331 'todo BVH').
+
+    Returns (order, cmin [C,3], cmax [C,3]) where ``order`` re-indexes faces
+    so cluster c owns faces [c*cluster_size, (c+1)*cluster_size).
+    """
+    n = len(v0)
+    cent = v0 + (e1 + e2) / 3.0
+    lo = cent.min(axis=0)
+    hi = cent.max(axis=0)
+    q = ((cent - lo) / np.maximum(hi - lo, 1e-9) * 1023.0).astype(np.uint64)
+    order = np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]), kind="stable")
+    sv0, se1, se2 = v0[order], e1[order], e2[order]
+    n_clus = (n + cluster_size - 1) // cluster_size
+    cmin = np.zeros((n_clus, 3), np.float32)
+    cmax = np.zeros((n_clus, 3), np.float32)
+    for c in range(n_clus):
+        s, e = c * cluster_size, min((c + 1) * cluster_size, n)
+        pts = np.concatenate([sv0[s:e], sv0[s:e] + se1[s:e], sv0[s:e] + se2[s:e]])
+        cmin[c] = pts.min(axis=0)
+        cmax[c] = pts.max(axis=0)
+    return order, cmin, cmax
+
+
 @dataclasses.dataclass(frozen=True)
 class SceneMeta:
     """Static (non-traced) scene facts; changing any retriggers jit tracing."""
@@ -144,6 +201,11 @@ class SceneMeta:
     # (geom_index, v0(3), e1(3), e2(3), unit_normal(3)) in world space.
     # Populated only when the scene has few enough faces (see MEGA_FACE_CAP).
     mega_faces: tuple = ()
+    # Wide-BVH leaf level: ((min3, max3), ...) world AABBs of the
+    # CLUSTER_SIZE-face Morton clusters the device face buffer is laid out
+    # in. Cluster c owns faces [c*cluster_size, (c+1)*cluster_size).
+    mesh_clusters: tuple = ()
+    cluster_size: int = CLUSTER_SIZE
 
 
 def _pad_to(n: int, multiple: int) -> int:
@@ -234,6 +296,54 @@ def build_device_scene(
         face_ranges.append((start, cursor - start))
 
     num_faces = cursor
+
+    # Morton-reorder the whole face soup and build the wide-BVH leaf level
+    # (order only affects tie-breaks; face_geom tracks ownership). The
+    # face_ranges stay as logical per-geom counts — the device buffer itself
+    # is cluster-major after this.
+    mesh_cluster_bounds = ()
+    if num_faces:
+        all_v0 = np.concatenate(v0s)
+        all_e1 = np.concatenate(e1s)
+        all_e2 = np.concatenate(e2s)
+        order, cmin, cmax = build_clusters(all_v0, all_e1, all_e2, CLUSTER_SIZE)
+        v0s = [all_v0[order]]
+        e1s = [all_e1[order]]
+        e2s = [all_e2[order]]
+        uv0s = [np.concatenate(uv0s)[order]]
+        uv1s = [np.concatenate(uv1s)[order]]
+        uv2s = [np.concatenate(uv2s)[order]]
+        fgeom = [np.concatenate(fgeom)[order]]
+        mesh_cluster_bounds = tuple(
+            (tuple(float(x) for x in mn), tuple(float(x) for x in mx))
+            for mn, mx in zip(cmin, cmax)
+        )
+
+    # Plane-form constants (f64 precompute for a well-conditioned dual basis)
+    Fp = _pad_to(max(num_faces, 1), CLUSTER_SIZE)
+    face_plane = np.zeros((16, Fp), np.float32)
+    if num_faces:
+        fv0 = v0s[0].astype(np.float64)
+        fe1 = e1s[0].astype(np.float64)
+        fe2 = e2s[0].astype(np.float64)
+        fn = np.cross(fe1, fe2)
+        d11 = np.einsum("ij,ij->i", fe1, fe1)
+        d12 = np.einsum("ij,ij->i", fe1, fe2)
+        d22 = np.einsum("ij,ij->i", fe2, fe2)
+        inv = 1.0 / np.maximum(d11 * d22 - d12 * d12, 1e-30)
+        U = (d22[:, None] * fe1 - d12[:, None] * fe2) * inv[:, None]
+        V = (d11[:, None] * fe2 - d12[:, None] * fe1) * inv[:, None]
+        face_plane[0:3, :num_faces] = fn.T
+        face_plane[3, :num_faces] = np.einsum("ij,ij->i", fn, fv0)
+        face_plane[4:7, :num_faces] = U.T
+        face_plane[7, :num_faces] = np.einsum("ij,ij->i", U, fv0)
+        face_plane[8:11, :num_faces] = V.T
+        face_plane[11, :num_faces] = np.einsum("ij,ij->i", V, fv0)
+        face_plane[12, :num_faces] = fgeom[0].astype(np.float32)
+        # pad faces: fn = 0 -> B = 0 handled by the epsilon guard; make the
+        # plane unreachable anyway
+        face_plane[3, num_faces:] = 1e30
+
     F = _pad_to(max(num_faces, 1), face_chunk)
     face_v0 = np.zeros((F, 3), np.float32)
     face_e1 = np.zeros((F, 3), np.float32)
@@ -299,6 +409,7 @@ def build_device_scene(
             for arr in (face_uv0, face_uv1, face_uv2)
             for col in (arr[:, 0], arr[:, 1])
         ),
+        face_plane=jnp.asarray(face_plane),
         mat_color=jnp.asarray(mat_color),
         mat_spec_color=jnp.asarray(mat_spec_color),
         mat_spec_ex=jnp.asarray(mat_spec_ex),
@@ -382,5 +493,7 @@ def build_device_scene(
         face_ranges=tuple(face_ranges),
         geoms=tuple(geom_statics),
         mega_faces=mega_faces,
+        mesh_clusters=mesh_cluster_bounds,
+        cluster_size=CLUSTER_SIZE,
     )
     return dev, meta

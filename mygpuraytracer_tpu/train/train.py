@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..denoise.unet import init_unet_params, unet_apply
@@ -111,19 +112,17 @@ def latest_checkpoint(result_dir: str):
         return pickle.load(f)
 
 
-def build_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None):
+def make_preprocess(cfg: TrainConfig):
+    """Mirror the runtime input packing (input_reorder.ispc): color channels
+    sanitized to [0,1] + transfer-encoded; albedo clamped; normals
+    snorm-shifted; target encoded the same way. Keeps SSIM statistics and
+    gradients in [0,1] — raw linear radiance (light pixels ~ 5*pi)
+    destabilizes training."""
     from ..denoise import color as color_mod
 
-    loss_fn = get_loss_function(cfg.loss)
-    compute_dtype = jnp.bfloat16 if cfg.precision == "mixed" else jnp.float32
     tf = color_mod.make_transfer(cfg.transfer)
 
     def preprocess(x, y):
-        # Mirror the runtime input packing (input_reorder.ispc): color
-        # channels sanitized to [0,1] + transfer-encoded; aux channels
-        # clamped; target encoded the same way. Keeps SSIM statistics and
-        # gradients in [0,1] — raw linear radiance (light pixels ~ 5*pi)
-        # destabilizes training.
         if cfg.snorm:
             # signed-normalized filter (rt_nrm): [-1,1] -> [0,1], linear tf
             col = color_mod.sanitize(x[..., :3], -1.0, 1.0) * 0.5 + 0.5
@@ -140,6 +139,14 @@ def build_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None):
         x = jnp.concatenate(parts, axis=-1)
         y = tf.forward(color_mod.sanitize(y, 0.0, hi))
         return x, y
+
+    return preprocess
+
+
+def build_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None):
+    loss_fn = get_loss_function(cfg.loss)
+    compute_dtype = jnp.bfloat16 if cfg.precision == "mixed" else jnp.float32
+    preprocess = make_preprocess(cfg)
 
     def loss_value(params, x, y):
         x, y = preprocess(x, y)
@@ -168,27 +175,9 @@ def build_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None):
 def build_eval_step(cfg: TrainConfig, mesh: Mesh | None):
     """Per-example validation losses [B] (no grad). The per-example form lets
     the caller weight out the repeated tiles that pad the final batch."""
-    from ..denoise import color as color_mod
-
     loss_fn = get_loss_function(cfg.loss)
     compute_dtype = jnp.bfloat16 if cfg.precision == "mixed" else jnp.float32
-    tf = color_mod.make_transfer(cfg.transfer)
-
-    def preprocess(x, y):
-        if cfg.snorm:
-            col = color_mod.sanitize(x[..., :3], -1.0, 1.0) * 0.5 + 0.5
-            y = color_mod.sanitize(y, -1.0, 1.0) * 0.5 + 0.5
-            return col, y
-        hi = jnp.inf if cfg.hdr else 1.0
-        col = tf.forward(color_mod.sanitize(x[..., :3], 0.0, hi))
-        parts = [col]
-        if cfg.in_channels >= 6:
-            parts.append(color_mod.sanitize(x[..., 3:6], 0.0, 1.0))
-        if cfg.in_channels >= 9:
-            parts.append(color_mod.sanitize(x[..., 6:9], -1.0, 1.0) * 0.5 + 0.5)
-        return jnp.concatenate(parts, axis=-1), tf.forward(
-            color_mod.sanitize(y, 0.0, hi)
-        )
+    preprocess = make_preprocess(cfg)
 
     def eval_step(params, x, y):
         x, y = preprocess(x, y)
@@ -223,6 +212,140 @@ def validate(cfg: TrainConfig, params, valid_ds: ValidationDataset, eval_fn,
         total += float(losses[:k].sum())
         count += k
     return total / max(count, 1)
+
+
+def build_epoch_fn(cfg: TrainConfig, optimizer, x_imgs, y_imgs):
+    """Device-resident data pipeline: random pose pick, random crop, 8-way
+    dihedral augmentation, preprocess, grads and updates for a WHOLE epoch
+    run as one jitted program (lax.scan over steps).
+
+    Built for links where every host dispatch costs ~25 ms (the reference's
+    DataLoader+DDP feeds each step from host workers, training/train.py:162;
+    here the dataset lives in HBM and the host only dispatches epochs).
+    """
+    loss_fn = get_loss_function(cfg.loss)
+    compute_dtype = jnp.bfloat16 if cfg.precision == "mixed" else jnp.float32
+    preprocess = make_preprocess(cfg)
+    P, H, W, Cx = x_imgs.shape
+    T = cfg.tile_size
+
+    def sample_tile(imgs, p, i, j):
+        c = imgs.shape[-1]
+        return lax.dynamic_slice(imgs, (p, i, j, 0), (1, T, T, c))[0]
+
+    def dihedral(img, fx, fy, ft):
+        img = jnp.where(fx, img[:, ::-1], img)
+        img = jnp.where(fy, img[::-1], img)
+        return jnp.where(ft, jnp.swapaxes(img, 0, 1), img)
+
+    def make_batch(key):
+        kp, ki, kj, kf = jax.random.split(key, 4)
+        B = cfg.batch_size
+        p = jax.random.randint(kp, (B,), 0, P)
+        i = jax.random.randint(ki, (B,), 0, H - T + 1)
+        j = jax.random.randint(kj, (B,), 0, W - T + 1)
+        flips = jax.random.bernoulli(kf, 0.5, (B, 3))
+        x = jax.vmap(lambda p, i, j: sample_tile(x_imgs, p, i, j))(p, i, j)
+        y = jax.vmap(lambda p, i, j: sample_tile(y_imgs, p, i, j))(p, i, j)
+        x = jax.vmap(dihedral)(x, flips[:, 0], flips[:, 1], flips[:, 2])
+        y = jax.vmap(dihedral)(y, flips[:, 0], flips[:, 1], flips[:, 2])
+        return x[..., : cfg.in_channels], y
+
+    def loss_value(params, x, y):
+        x, y = preprocess(x, y)
+        pred = unet_apply(params, x.astype(compute_dtype)).astype(jnp.float32)
+        return loss_fn(pred, y)
+
+    @jax.jit
+    def epoch_fn(params, opt_state, key):
+        def step(carry, k):
+            params, opt_state = carry
+            x, y = make_batch(k)
+            loss, grads = jax.value_and_grad(loss_value)(params, x, y)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, cfg.steps_per_epoch)
+        (params, opt_state), losses = lax.scan(step, (params, opt_state), keys)
+        return params, opt_state, jnp.mean(losses)
+
+    return epoch_fn
+
+
+def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
+    """train(), but with the dataset resident in device memory (single chip).
+
+    x_imgs [P,H,W,Cx>=in_channels] / y_imgs [P,H,W,3] are uploaded once;
+    every epoch is one device dispatch. Checkpoints/resume/validation match
+    train().
+    """
+    import jax.random as jrandom
+
+    x_imgs = jnp.asarray(x_imgs, jnp.float32)
+    y_imgs = jnp.asarray(y_imgs, jnp.float32)
+    params = init_unet_params(cfg.in_channels, seed=cfg.seed)
+
+    total_steps = cfg.num_epochs * cfg.steps_per_epoch
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=cfg.max_lr,
+        pct_start=cfg.warmup_pct,
+    )
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
+    opt_state = optimizer.init(params)
+
+    start_epoch = 0
+    ckpt = latest_checkpoint(cfg.result_dir)
+    if ckpt is not None:
+        cfg_path = os.path.join(cfg.result_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg.check_compatible(json.load(f))
+        params = ckpt["params"]
+        opt_state = ckpt["opt_state"]
+        start_epoch = ckpt["epoch"]
+
+    epoch_fn = build_epoch_fn(cfg, optimizer, x_imgs, y_imgs)
+
+    valid_dir = cfg.valid_dir or os.path.join(cfg.data_dir, "valid")
+    valid_ds, eval_fn = None, None
+    if os.path.isdir(valid_dir):
+        try:
+            valid_ds = ValidationDataset(valid_dir, cfg.tile_size)
+            eval_fn = build_eval_step(cfg, None)
+        except ValueError:
+            valid_ds = None
+
+    log_path = os.path.join(cfg.result_dir, "log.jsonl")
+    os.makedirs(cfg.result_dir, exist_ok=True)
+    base_key = jrandom.key(cfg.seed)
+
+    step = start_epoch * cfg.steps_per_epoch
+    for epoch in range(start_epoch, cfg.num_epochs):
+        t0 = time.time()
+        params, opt_state, mean_loss = epoch_fn(
+            params, opt_state, jrandom.fold_in(base_key, epoch)
+        )
+        step += cfg.steps_per_epoch
+        rec = {
+            "epoch": epoch + 1,
+            "step": step,
+            "loss": float(mean_loss),
+            "lr": float(schedule(step)),
+            "images_per_sec": cfg.steps_per_epoch * cfg.batch_size / (time.time() - t0),
+        }
+        if valid_ds is not None and (
+            (epoch + 1) % cfg.valid_epochs == 0 or epoch + 1 == cfg.num_epochs
+        ):
+            rec["valid_loss"] = validate(cfg, params, valid_ds, eval_fn)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if log_fn:
+            log_fn(rec)
+        if (epoch + 1) % cfg.save_epochs == 0 or epoch + 1 == cfg.num_epochs:
+            save_checkpoint(cfg.result_dir, epoch + 1, step, params, opt_state, cfg)
+    return params
 
 
 def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):

@@ -1,0 +1,218 @@
+"""Round-2 denoiser quality campaign: slice slots, train (device-resident),
+export TZA, evaluate RMSE/PSNR on held-out poses.
+
+Stages (run on TPU; each is resumable):
+    prep   — slice data/master_r2 into per-slot train arrays + valid dirs
+    train  — train the listed slots with train_device, export weights/<>.tza
+    eval   — denoise held-out 16 spp poses per slot, RMSE/PSNR vs 2048 spp
+             ground truth; writes results/r2_eval.json
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+       python scripts/campaign_r2.py <stage> [slots-csv] [epochs]
+"""
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+MASTER = "data/master_r2"
+SLOTS_DIR = "data/slots_r2"
+DIR_DATA = "data/master_r2_dir"
+
+ALL_SLOTS = [
+    "rt_hdr_alb", "rt_ldr_alb", "rt_hdr_alb_nrm", "rt_ldr_alb_nrm",
+    "rt_hdr", "rt_ldr", "rt_hdr_calb_cnrm", "rt_ldr_calb_cnrm",
+    "rt_alb", "rt_nrm", "rtlightmap_hdr", "rtlightmap_dir",
+]
+
+
+def slot_cfg_fields(name):
+    """Transfer config mirroring the runtime (core/unet.cpp:613-621,693-763)."""
+    if name == "rtlightmap_dir":
+        return dict(transfer="linear", hdr=False, snorm=True)
+    if name.startswith("rtlightmap"):
+        return dict(transfer="log", hdr=True, snorm=False)
+    if name == "rt_nrm":
+        return dict(transfer="linear", hdr=False, snorm=True)
+    if name == "rt_alb":
+        return dict(transfer="srgb", hdr=False, snorm=False)
+    return dict(transfer="pu" if "hdr" in name else "srgb",
+                hdr="hdr" in name, snorm=False)
+
+
+def recipe(m, slot):
+    nc, na, nn = m["noisy_color"], m["noisy_albedo"], m["noisy_normal"]
+    cc, ca, cn = m["clean_color"], m["clean_albedo"], m["clean_normal"]
+    ldr = "ldr" in slot
+    if ldr:
+        nc, cc = np.clip(nc, 0, 1), np.clip(cc, 0, 1)
+    if slot in ("rt_ldr", "rt_hdr", "rtlightmap_hdr"):
+        return nc, cc
+    if slot in ("rt_ldr_alb", "rt_hdr_alb"):
+        return np.concatenate([nc, na], -1), cc
+    if slot in ("rt_ldr_alb_nrm", "rt_hdr_alb_nrm"):
+        return np.concatenate([nc, na, nn], -1), cc
+    if slot in ("rt_ldr_calb_cnrm", "rt_hdr_calb_cnrm"):
+        return np.concatenate([nc, ca, cn], -1), cc
+    if slot == "rt_alb":
+        return na, ca
+    if slot == "rt_nrm":
+        return nn, cn
+    raise ValueError(slot)
+
+
+def stage_prep():
+    for slot in ALL_SLOTS:
+        if slot == "rtlightmap_dir":
+            continue  # generated directly by gen_dataset_r2.py
+        for sub in ("", "valid"):
+            src = os.path.join(MASTER, sub) if sub else MASTER
+            masters = sorted(glob.glob(os.path.join(src, "*.master.npz")))
+            if not masters:
+                continue
+            out = os.path.join(SLOTS_DIR, slot, sub) if sub else os.path.join(
+                SLOTS_DIR, slot)
+            os.makedirs(out, exist_ok=True)
+            for path in masters:
+                m = np.load(path)
+                x, y = recipe(m, slot)
+                stem = os.path.basename(path).replace(".master.npz", "")
+                np.save(os.path.join(out, f"{stem}.input.npy"), x)
+                np.save(os.path.join(out, f"{stem}.target.npy"), y)
+        print(f"prep {slot} done", flush=True)
+
+
+def load_stack(d):
+    xs, ys = [], []
+    for ip in sorted(glob.glob(os.path.join(d, "*.input.npy"))):
+        tp = ip.replace(".input.npy", ".target.npy")
+        xs.append(np.load(ip))
+        ys.append(np.load(tp))
+    return np.stack(xs), np.stack(ys)
+
+
+def stage_train(slots, epochs):
+    from mygpuraytracer_tpu.denoise.weights import WEIGHTS_CHANNELS
+    from mygpuraytracer_tpu.train.export import export_weights
+    from mygpuraytracer_tpu.train.train import TrainConfig, train_device
+
+    for slot in slots:
+        data_dir = DIR_DATA if slot == "rtlightmap_dir" else os.path.join(
+            SLOTS_DIR, slot)
+        x, y = load_stack(data_dir)
+        cfg = TrainConfig(
+            data_dir=data_dir,
+            result_dir=f"results/r2/{slot}",
+            in_channels=WEIGHTS_CHANNELS[slot],
+            loss="l1_msssim",
+            num_epochs=epochs,
+            steps_per_epoch=32,
+            batch_size=16,
+            tile_size=256 if x.shape[1] >= 256 else 128,
+            max_lr=3e-4,
+            precision="mixed",
+            save_epochs=max(epochs // 10, 1),
+            valid_epochs=max(epochs // 20, 1),
+            **slot_cfg_fields(slot),
+        )
+        last = {}
+        params = train_device(cfg, x, y, log_fn=lambda r: (
+            last.update(r),
+            print(f"[{slot}] epoch {r['epoch']} loss {r['loss']:.4f}"
+                  + (f" valid {r['valid_loss']:.4f}" if 'valid_loss' in r else "")
+                  + f" ({r['images_per_sec']:.0f} img/s)", flush=True)
+            if r["epoch"] % 50 == 0 or "valid_loss" in r else None,
+        ))
+        os.makedirs("weights", exist_ok=True)
+        export_weights(params, f"weights/{slot}.tza")
+        print(f"[{slot}] exported weights/{slot}.tza; last: {last}", flush=True)
+
+
+def stage_eval(slots):
+    """Full-image denoise of held-out poses; RMSE/PSNR vs ground truth."""
+    from mygpuraytracer_tpu.denoise.weights import load_default_params
+    from mygpuraytracer_tpu.train.infer import Infer, psnr, rmse
+
+    results = {}
+    masters = sorted(glob.glob(os.path.join(MASTER, "valid", "*.master.npz")))
+    for slot in slots:
+        if slot in ("rt_alb", "rt_nrm", "rtlightmap_dir", "rtlightmap_hdr"):
+            continue  # aux/lightmap slots evaluated separately below
+        params, rnd = load_default_params(slot)
+        if rnd:
+            print(f"[{slot}] RANDOM weights — skipping eval", flush=True)
+            continue
+        f = slot_cfg_fields(slot)
+        infer = Infer(params, transfer=f["transfer"], hdr=f["hdr"])
+        if "calb" in slot:
+            pa, ra = load_default_params("rt_alb")
+            pn, rn = load_default_params("rt_nrm")
+            if not (ra or rn):
+                infer.aux_infers = {
+                    "albedo": Infer(pa, transfer="srgb"),
+                    "normal": Infer(pn, snorm=True),
+                }
+        rs, ps, ns = [], [], []
+        for path in masters:
+            m = np.load(path)
+            x, y = recipe(m, slot)
+            out = infer(x)
+            gt = np.clip(y, 0, 1) if "ldr" in slot else y
+            pred = np.clip(out, 0, 1) if "ldr" in slot else out
+            rs.append(rmse(pred, gt))
+            ps.append(psnr(np.clip(pred, 0, 1), np.clip(gt, 0, 1)))
+            ns.append(psnr(np.clip(x[..., :3], 0, 1), np.clip(gt, 0, 1)))
+        results[slot] = {
+            "rmse": float(np.mean(rs)),
+            "psnr": float(np.mean(ps)),
+            "noisy_psnr": float(np.mean(ns)),
+            "poses": len(masters),
+        }
+        print(f"[{slot}] RMSE {results[slot]['rmse']:.5f} "
+              f"PSNR {results[slot]['psnr']:.2f} "
+              f"(noisy {results[slot]['noisy_psnr']:.2f})", flush=True)
+
+    # aux prefilters + lightmaps: RMSE in their own domain
+    from mygpuraytracer_tpu.train.infer import Infer as _I
+
+    for slot, d in (("rt_alb", None), ("rt_nrm", None),
+                    ("rtlightmap_dir", DIR_DATA)):
+        params, rnd = load_default_params(slot)
+        if rnd:
+            continue
+        f = slot_cfg_fields(slot)
+        infer = _I(params, transfer=f["transfer"], hdr=f["hdr"], snorm=f["snorm"])
+        vdir = os.path.join(d or os.path.join(SLOTS_DIR, slot), "valid")
+        rs = []
+        for ip in sorted(glob.glob(os.path.join(vdir, "*.input.npy"))):
+            x = np.load(ip)
+            y = np.load(ip.replace(".input.npy", ".target.npy"))
+            rs.append(rmse(infer(x), y))
+        if rs:
+            results[slot] = {"rmse": float(np.mean(rs)), "poses": len(rs)}
+            print(f"[{slot}] RMSE {results[slot]['rmse']:.5f}", flush=True)
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/r2_eval.json", "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(results, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    stage = sys.argv[1]
+    slots = sys.argv[2].split(",") if len(sys.argv) > 2 and sys.argv[2] else ALL_SLOTS
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+    if stage == "prep":
+        stage_prep()
+    elif stage == "train":
+        stage_train(slots, epochs)
+    elif stage == "eval":
+        stage_eval(slots)
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+    print("ALLDONE", flush=True)

@@ -1,0 +1,136 @@
+"""Round-2 master dataset: reference scenes x many poses + valid split + the
+SH-L1 directional lightmap pairs for rtlightmap_dir.
+
+Per (scene, pose) writes <out>/(valid/)<scene>_c<i>.master.npz with
+noisy_{color,albedo,normal} (16 spp) and clean_{color,albedo,normal}
+(2048 spp); prep_slot_datasets.py slices these per weight slot. Directional
+pairs go to <out>_dir/(valid/) as ready .input/.target.npy (3ch snorm).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/gen_dataset_r2.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+
+from mygpuraytracer_tpu.config import RenderOptions
+from mygpuraytracer_tpu.render import Renderer
+from mygpuraytracer_tpu.scene import load_scene
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "data/master_r2"
+RES = 384
+NOISY_SPP = 16
+CLEAN_SPP = 2048
+DIR_RES = 256
+DIR_NOISY_SPP = 8
+DIR_CLEAN_SPP = 1024
+
+REF = "/root/reference/scenes"
+
+# (name, scene file, train poses, valid poses) — poses are EYE overrides
+SCENES = [
+    ("cornell", f"{REF}/cornell.txt",
+     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5), (0.5, 7.5, 8.0),
+      (-1.0, 3.0, 10.5), (3.0, 5.0, 10.0), (1.5, 4.5, 8.5), (-3.0, 6.5, 9.0)],
+     [(0.8, 5.5, 11.0), (-1.8, 6.8, 10.2)]),
+    ("glass", f"{REF}/cornellGlass.txt",
+     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5), (0.5, 7.5, 8.0),
+      (-1.0, 3.0, 10.5), (3.0, 5.0, 10.0)],
+     [(1.2, 4.0, 10.8)]),
+    ("sphere", f"{REF}/sphere.txt",
+     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5), (0.5, 7.5, 8.0)],
+     [(-2.0, 5.5, 10.0)]),
+    ("ship", "scenes/cornellShip.txt",
+     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5), (0.5, 7.5, 8.0)],
+     [(1.5, 4.5, 10.0)]),
+]
+
+DIR_SCENES = [
+    ("cornell", f"{REF}/cornell.txt",
+     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5)], [(0.8, 5.5, 11.0)]),
+    ("sphere", f"{REF}/sphere.txt", [None, (2.0, 6.0, 9.0)], []),
+]
+
+
+def save_master(out_dir, stem, noisy_r, clean_r):
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(
+        os.path.join(out_dir, f"{stem}.master.npz"),
+        noisy_color=noisy_r.beauty().astype(np.float32),
+        noisy_albedo=noisy_r.albedo_image().astype(np.float32),
+        noisy_normal=noisy_r.normal_image().astype(np.float32),
+        clean_color=clean_r.beauty().astype(np.float32),
+        clean_albedo=clean_r.albedo_image().astype(np.float32),
+        clean_normal=clean_r.normal_image().astype(np.float32),
+    )
+
+
+def gen_masters():
+    for sname, path, train_poses, valid_poses in SCENES:
+        scene = load_scene(path)
+        scene.set_resolution(RES, RES)
+        on_tpu = jax.default_backend() != "cpu"
+        opts = RenderOptions(megakernel=on_tpu)
+        noisy_r = Renderer(scene, opts, seed=1)
+        clean_r = Renderer(scene, opts, seed=9001)
+        t0 = time.time()
+        for tag, poses in (("", train_poses), ("valid", valid_poses)):
+            for ci, eye in enumerate(poses):
+                for r in (noisy_r, clean_r):
+                    if eye is not None:
+                        r.move_camera(position=eye)
+                    else:
+                        r.reset()
+                noisy_r.base_key = jax.random.key(100 + ci + (999 if tag else 0))
+                clean_r.base_key = jax.random.key(7000 + ci + (999 if tag else 0))
+                noisy_r.step_many(NOISY_SPP)
+                clean_r.step_many(CLEAN_SPP)
+                save_master(os.path.join(OUT, tag) if tag else OUT,
+                            f"{sname}_c{ci}", noisy_r, clean_r)
+                print(f"{sname}{'/'+tag if tag else ''}_c{ci} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+
+
+def gen_dir():
+    out_base = OUT + "_dir"
+    for sname, path, train_poses, valid_poses in DIR_SCENES:
+        scene = load_scene(path)
+        scene.set_resolution(DIR_RES, DIR_RES)
+        opts = RenderOptions(dir_aov=True, megakernel=False)
+        noisy_r = Renderer(scene, opts, seed=2)
+        clean_r = Renderer(scene, opts, seed=9002)
+        t0 = time.time()
+        for tag, poses in (("", train_poses), ("valid", valid_poses)):
+            out_dir = os.path.join(out_base, tag) if tag else out_base
+            os.makedirs(out_dir, exist_ok=True)
+            for ci, eye in enumerate(poses):
+                for r in (noisy_r, clean_r):
+                    if eye is not None:
+                        r.move_camera(position=eye)
+                    else:
+                        r.reset()
+                noisy_r.base_key = jax.random.key(300 + ci + (999 if tag else 0))
+                clean_r.base_key = jax.random.key(8000 + ci + (999 if tag else 0))
+                noisy_r.step_many(DIR_NOISY_SPP)
+                clean_r.step_many(DIR_CLEAN_SPP)
+                np.save(os.path.join(out_dir, f"{sname}_c{ci}.input.npy"),
+                        noisy_r.dir_image().astype(np.float32))
+                np.save(os.path.join(out_dir, f"{sname}_c{ci}.target.npy"),
+                        clean_r.dir_image().astype(np.float32))
+                print(f"dir {sname}{'/'+tag if tag else ''}_c{ci} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    if which in ("all", "masters"):
+        gen_masters()
+    if which in ("all", "dir"):
+        gen_dir()
+    print("ALLDONE", flush=True)

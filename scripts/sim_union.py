@@ -155,13 +155,14 @@ def main():
 
     def report(tag, o_np, d_np, t_best, alive):
         n_tiles = (N + TILE - 1) // TILE
-        unions, perray, anymesh = [], [], []
+        unions, perray, anymesh, pairs = [], [], [], []
         for ti in range(n_tiles):
             s = ti * TILE
             sl = slice(s, min(s + TILE, N))
             a = alive[sl]
             if not a.any():
                 unions.append(0)
+                pairs.append(0)
                 continue
             om, dm, tm = o_np[sl][a], d_np[sl][a], t_best[sl][a]
             hit_any = np.zeros(n_clus, bool)
@@ -175,11 +176,15 @@ def main():
             unions.append(int(hit_any.sum()))
             perray.append(cnt.mean())
             anymesh.append((cnt > 0).mean())
+            pairs.append(int(cnt.sum()))
         unions = np.asarray(unions)
+        pairs = np.asarray(pairs)
         print(f"{tag}: tile-union clusters mean {unions.mean():.1f} "
               f"p90 {np.percentile(unions, 90):.0f} max {unions.max()} "
               f"| per-ray mean {np.mean(perray):.2f} clusters "
-              f"| rays needing mesh {np.mean(anymesh)*100:.1f}%", flush=True)
+              f"| rays needing mesh {np.mean(anymesh)*100:.1f}% "
+              f"| (ray,cluster) pairs/tile mean {pairs.mean():.0f} "
+              f"p90 {np.percentile(pairs, 90):.0f} max {pairs.max()}", flush=True)
 
     print("computing primary t ...", flush=True)
     tp = prim_t(o, d)

@@ -110,3 +110,73 @@ def test_mega_faces_path_matches(reference_scenes):
     dn = np.stack([np.asarray(dyn.normal.x), np.asarray(dyn.normal.y), np.asarray(dyn.normal.z)], -1)[both]
     ln = np.stack([np.asarray(lit.normal.x), np.asarray(lit.normal.y), np.asarray(lit.normal.z)], -1)[both]
     assert (np.abs(dn - ln) < 1e-3).all(axis=1).mean() > 0.999
+
+
+def test_bvh_tier_matches_oracle():
+    """Megakernel cluster-BVH mesh tier (ops.trace.bvh_scene_hit) agrees with
+    the brute-force oracle (intersect_soa) on the 23k-face spaceship scene.
+    Runs the tier as a real (interpreted) Pallas kernel."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygpuraytracer_tpu.ops.trace import bvh_scene_hit, intersect_soa
+    from mygpuraytracer_tpu.ops.vec3 import Vec3
+    from mygpuraytracer_tpu.scene import load_scene
+    from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+
+    scene = load_scene("scenes/cornellShip.txt")
+    scene.set_resolution(8, 8)
+    dev, meta = build_device_scene(scene, 128)
+    assert meta.mesh_clusters, "expected the cluster-BVH tier to be built"
+
+    rng = np.random.default_rng(0)
+    n = 8 * 128
+    # rays from random points in the box toward random directions, plus a
+    # batch aimed at the ship's AABB so plenty of lanes hit mesh faces
+    o_np = rng.uniform(-4, 9, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    aim = np.array([1.0, 3.0, 3.0]) - o_np[: n // 2]
+    d_np[: n // 2] = aim + 0.3 * rng.normal(size=(n // 2, 3))
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+
+    def kernel(fp_ref, ox, oy, oz, dx, dy, dz, t_ref, nx, ny, nz, obj_ref, em_ref):
+        o = Vec3(ox[:, :], oy[:, :], oz[:, :])
+        d = Vec3(dx[:, :], dy[:, :], dz[:, :])
+        h = bvh_scene_hit(meta, fp_ref, o, d)
+        t_ref[:, :] = jnp.where(h.hit, h.t, -1.0)
+        nx[:, :] = h.normal.x
+        ny[:, :] = h.normal.y
+        nz[:, :] = h.normal.z
+        obj_ref[:, :] = h.is_obj.astype(jnp.float32)
+        em_ref[:, :] = h.emit
+
+    shape = (8, 128)
+    args = [dev.face_plane] + [
+        jnp.asarray(a.reshape(shape)) for a in
+        (o_np[:, 0], o_np[:, 1], o_np[:, 2], d_np[:, 0], d_np[:, 1], d_np[:, 2])
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct(shape, jnp.float32)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        interpret=True,
+    )(*args)
+    t_k, nx_k, ny_k, nz_k, obj_k, em_k = [np.asarray(a).ravel() for a in outs]
+
+    o = Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+    ref = intersect_soa(meta, dev, o, d, 128)
+    t_r = np.where(np.asarray(ref.hit), np.asarray(ref.t), -1.0)
+
+    # plane-form vs Moller-Trumbore: identical up to f32 edge cases — allow
+    # a small disagreement budget for rays grazing triangle edges
+    close = np.isclose(t_k, t_r, rtol=2e-3, atol=2e-3)
+    assert close.mean() > 0.995, f"t mismatch on {(~close).sum()}/{n} lanes"
+    m = close & (t_k > 0)
+    assert m.sum() > n // 4  # plenty of real hits compared
+    for a, b in ((nx_k, ref.normal.x), (ny_k, ref.normal.y), (nz_k, ref.normal.z)):
+        assert np.isclose(a[m], np.asarray(b)[m], rtol=1e-2, atol=1e-2).mean() > 0.99
+    assert (obj_k[m] == np.asarray(ref.is_obj)[m].astype(np.float32)).mean() > 0.995
+    np.testing.assert_allclose(em_k[m], np.asarray(ref.emit)[m], atol=1e-4)

@@ -208,3 +208,35 @@ def test_infer_snorm_roundtrip():
     rng = np.random.default_rng(1)
     out = f((rng.random((16, 16, 3)) * 2 - 1).astype(np.float32))
     assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_train_device_smoke(tmp_path):
+    """Device-resident trainer: one-dispatch epochs, same artifacts as
+    train() (checkpoints, JSONL log, valid_loss)."""
+    import json
+
+    from mygpuraytracer_tpu.train.train import train_device
+
+    rng = np.random.default_rng(0)
+    x = rng.random((3, 48, 48, 6), np.float32)
+    y = rng.random((3, 48, 48, 3), np.float32)
+    (tmp_path / "valid").mkdir()
+    _make_dataset(tmp_path / "valid", n=1, size=48)
+    cfg = TrainConfig(
+        data_dir=str(tmp_path),
+        result_dir=str(tmp_path / "result"),
+        in_channels=6,
+        loss="l1",
+        num_epochs=2,
+        steps_per_epoch=4,
+        batch_size=2,
+        tile_size=32,
+        precision="float32",
+        save_epochs=2,
+        valid_epochs=1,
+    )
+    train_device(cfg, x, y)
+    assert latest_checkpoint(cfg.result_dir)["epoch"] == 2
+    recs = [json.loads(l) for l in open(os.path.join(cfg.result_dir, "log.jsonl"))]
+    assert len(recs) == 2 and all(np.isfinite(r["loss"]) for r in recs)
+    assert all("valid_loss" in r and np.isfinite(r["valid_loss"]) for r in recs)
