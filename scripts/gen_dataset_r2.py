@@ -33,28 +33,40 @@ DIR_CLEAN_SPP = 1024
 
 REF = "/root/reference/scenes"
 
-# (name, scene file, train poses, valid poses) — poses are EYE overrides
+
+def _ring_poses(n, seed, r=(9.0, 11.0), x=(-3.2, 3.2), y=(2.5, 7.5)):
+    """Deterministic camera-eye spread inside the cornell viewing volume.
+    Extra poses are nearly free on TPU (compute is ~1s/pose; compiles are
+    per-scene), and pose diversity is what the round-1 denoiser lacked."""
+    rng = np.random.default_rng(seed)
+    return [
+        (float(rng.uniform(*x)), float(rng.uniform(*y)), float(rng.uniform(*r)))
+        for _ in range(n)
+    ]
+
+
+# (name, scene file, train poses, valid poses, megakernel) — poses are EYE
+# overrides. The ship scene stays on the wavefront path: the combined
+# megakernel+BVH program still crashes the Mosaic compiler (see
+# scripts/probe_mega_bisect.py).
 SCENES = [
     ("cornell", f"{REF}/cornell.txt",
-     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5), (0.5, 7.5, 8.0),
-      (-1.0, 3.0, 10.5), (3.0, 5.0, 10.0), (1.5, 4.5, 8.5), (-3.0, 6.5, 9.0)],
-     [(0.8, 5.5, 11.0), (-1.8, 6.8, 10.2)]),
+     [None] + _ring_poses(13, 10), _ring_poses(3, 11), True),
     ("glass", f"{REF}/cornellGlass.txt",
-     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5), (0.5, 7.5, 8.0),
-      (-1.0, 3.0, 10.5), (3.0, 5.0, 10.0)],
-     [(1.2, 4.0, 10.8)]),
+     [None] + _ring_poses(11, 20), _ring_poses(3, 21), True),
     ("sphere", f"{REF}/sphere.txt",
-     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5), (0.5, 7.5, 8.0)],
-     [(-2.0, 5.5, 10.0)]),
+     [None] + _ring_poses(5, 30), _ring_poses(2, 31), True),
     ("ship", "scenes/cornellShip.txt",
-     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5), (0.5, 7.5, 8.0)],
-     [(1.5, 4.5, 10.0)]),
+     [None] + _ring_poses(7, 40), _ring_poses(2, 41), False),
 ]
 
+# sphere is a lone emissive object — no scatter surfaces, so its SH-L1
+# directional AOV is identically zero; use the two cornell variants instead.
 DIR_SCENES = [
     ("cornell", f"{REF}/cornell.txt",
-     [None, (2.0, 6.0, 9.0), (-2.5, 4.0, 9.5)], [(0.8, 5.5, 11.0)]),
-    ("sphere", f"{REF}/sphere.txt", [None, (2.0, 6.0, 9.0)], []),
+     [None] + _ring_poses(5, 50), _ring_poses(2, 51)),
+    ("glass", f"{REF}/cornellGlass.txt",
+     [None] + _ring_poses(3, 60), _ring_poses(1, 61)),
 ]
 
 
@@ -72,11 +84,11 @@ def save_master(out_dir, stem, noisy_r, clean_r):
 
 
 def gen_masters():
-    for sname, path, train_poses, valid_poses in SCENES:
+    for sname, path, train_poses, valid_poses, mega in SCENES:
         scene = load_scene(path)
         scene.set_resolution(RES, RES)
         on_tpu = jax.default_backend() != "cpu"
-        opts = RenderOptions(megakernel=on_tpu)
+        opts = RenderOptions(megakernel=on_tpu and mega)
         noisy_r = Renderer(scene, opts, seed=1)
         clean_r = Renderer(scene, opts, seed=9001)
         t0 = time.time()
