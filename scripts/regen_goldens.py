@@ -41,6 +41,26 @@ def main():
         np.save(f"tests/golden/{name}.npy", r.beauty().astype(np.float32))
         print(f"{name}: mean {r.beauty().mean():.4f}")
 
+    # Paths most at risk under BVH/megakernel work (VERDICT r1 weak #6):
+    # textured+bump mesh, depth of field, and the cluster-mesh tier.
+    from mygpuraytracer_tpu.scene import load_scene
+
+    specs = [
+        ("cornellObj_64_16spp", "/root/reference/scenes/cornellObj.txt",
+         (64, 64), 16, RenderOptions()),
+        ("cornellDof_64_16spp", None, (64, 64), 16,
+         RenderOptions(depth_of_field=True, focal_distance=11.0)),
+        ("shipOnly_32_4spp", "scenes/shipOnly.txt", (32, 32), 4,
+         RenderOptions()),
+    ]
+    for name, path, res, spp, opts in specs:
+        s = load_scene(path) if path else cornell_box()
+        s.set_resolution(*res)
+        r = Renderer(s, opts, seed=0)
+        r.render(iterations=spp, batch=min(spp, 8))
+        np.save(f"tests/golden/{name}.npy", r.beauty().astype(np.float32))
+        print(f"{name}: mean {r.beauty().mean():.4f}")
+
 
 if __name__ == "__main__":
     main()

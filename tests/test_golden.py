@@ -20,18 +20,45 @@ from mygpuraytracer_tpu.train.infer import rmse
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 
-@pytest.mark.parametrize(
-    "name,maker",
-    [("cornell_64_32spp", cornell_box), ("cornellGlass_64_32spp", cornell_glass)],
-)
-def test_golden_render(name, maker):
+def _load(path):
+    from mygpuraytracer_tpu.scene import load_scene
+
+    if not os.path.exists(path):
+        pytest.skip(f"scene missing: {path}")
+    return load_scene(path)
+
+
+REPO = pathlib.Path(__file__).parent.parent
+
+# (golden name, scene factory, resolution, spp, options) — the last three
+# cover the paths most at risk under BVH/megakernel work: textured+bump
+# mesh (cornellObj), depth of field, and the cluster-mesh tier (shipOnly).
+CASES = [
+    ("cornell_64_32spp", lambda: cornell_box(resolution=(64, 64)), 32,
+     RenderOptions()),
+    ("cornellGlass_64_32spp", lambda: cornell_glass(resolution=(64, 64)), 32,
+     RenderOptions()),
+    ("cornellObj_64_16spp",
+     lambda: _load("/root/reference/scenes/cornellObj.txt"), 16,
+     RenderOptions()),
+    ("cornellDof_64_16spp", lambda: cornell_box(resolution=(64, 64)), 16,
+     RenderOptions(depth_of_field=True, focal_distance=11.0)),
+    ("shipOnly_32_4spp", lambda: _load(str(REPO / "scenes/shipOnly.txt")), 4,
+     RenderOptions()),
+]
+
+
+@pytest.mark.parametrize("name,maker,spp,opts", CASES, ids=[c[0] for c in CASES])
+def test_golden_render(name, maker, spp, opts):
     path = GOLDEN / f"{name}.npy"
     if not path.exists():
         pytest.skip("golden missing")
     golden = np.load(path)
-    scene = maker(resolution=(64, 64))
-    r = Renderer(scene, RenderOptions(), seed=0)
-    r.render(iterations=32, batch=8)
+    scene = maker()
+    res = int(name.split("_")[-2])
+    scene.set_resolution(res, res)
+    r = Renderer(scene, opts, seed=0)
+    r.render(iterations=spp, batch=min(spp, 8))
     img = r.beauty()
     err = rmse(img, golden)
     # identical RNG streams: only float reassociation differs across builds
