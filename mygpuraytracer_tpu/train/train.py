@@ -287,8 +287,10 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
     params = init_unet_params(cfg.in_channels, seed=cfg.seed)
 
     total_steps = cfg.num_epochs * cfg.steps_per_epoch
+    # optax's onecycle divides by the warmup interval width; totals so small
+    # that pct_start*total rounds to a zero-width interval yield NaN LR.
     schedule = optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
+        transition_steps=max(total_steps, 16),
         peak_value=cfg.max_lr,
         pct_start=cfg.warmup_pct,
     )
@@ -354,8 +356,10 @@ def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):
     params = init_unet_params(cfg.in_channels, seed=cfg.seed)
 
     total_steps = cfg.num_epochs * cfg.steps_per_epoch
+    # optax's onecycle divides by the warmup interval width; totals so small
+    # that pct_start*total rounds to a zero-width interval yield NaN LR.
     schedule = optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
+        transition_steps=max(total_steps, 16),
         peak_value=cfg.max_lr,
         pct_start=cfg.warmup_pct,
     )

@@ -24,6 +24,12 @@ MASTER = "data/master_r2"
 SLOTS_DIR = "data/slots_r2"
 DIR_DATA = "data/master_r2_dir"
 
+# Trainer shape knobs (module-level so smoke tests can shrink them).
+STEPS_PER_EPOCH = 32
+BATCH_SIZE = 16
+WEIGHTS_DIR = "weights"
+RESULTS_DIR = "results/r2"
+
 ALL_SLOTS = [
     "rt_hdr_alb", "rt_ldr_alb", "rt_hdr_alb_nrm", "rt_ldr_alb_nrm",
     "rt_hdr", "rt_ldr", "rt_hdr_calb_cnrm", "rt_ldr_calb_cnrm",
@@ -107,13 +113,13 @@ def stage_train(slots, epochs):
         x, y = load_stack(data_dir)
         cfg = TrainConfig(
             data_dir=data_dir,
-            result_dir=f"results/r2/{slot}",
+            result_dir=os.path.join(RESULTS_DIR, slot),
             in_channels=WEIGHTS_CHANNELS[slot],
             loss="l1_msssim",
             num_epochs=epochs,
-            steps_per_epoch=32,
-            batch_size=16,
-            tile_size=256 if x.shape[1] >= 256 else 128,
+            steps_per_epoch=STEPS_PER_EPOCH,
+            batch_size=BATCH_SIZE,
+            tile_size=min(256, x.shape[1]),
             max_lr=3e-4,
             precision="mixed",
             save_epochs=max(epochs // 10, 1),
@@ -128,9 +134,10 @@ def stage_train(slots, epochs):
                   + f" ({r['images_per_sec']:.0f} img/s)", flush=True)
             if r["epoch"] % 50 == 0 or "valid_loss" in r else None,
         ))
-        os.makedirs("weights", exist_ok=True)
-        export_weights(params, f"weights/{slot}.tza")
-        print(f"[{slot}] exported weights/{slot}.tza; last: {last}", flush=True)
+        os.makedirs(WEIGHTS_DIR, exist_ok=True)
+        out_tza = os.path.join(WEIGHTS_DIR, f"{slot}.tza")
+        export_weights(params, out_tza)
+        print(f"[{slot}] exported {out_tza}; last: {last}", flush=True)
 
 
 def stage_eval(slots):
