@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--save-normal", action="store_true",
                    help="also save the first-hit normal AOV ([-1,1] -> [0,1])")
     p.add_argument("--quiet", action="store_true")
+    from ..utils.platform import add_platform_flag
+
+    add_platform_flag(p)
     return p.parse_args(argv)
 
 
@@ -88,6 +91,9 @@ def denoise_beauty(beauty: np.ndarray, albedo: np.ndarray, verbose=True):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    from ..utils.platform import force_platform
+
+    force_platform(args.platform)
     from ..config import RenderOptions
     from ..render import Renderer
     from ..utils.png import write_png

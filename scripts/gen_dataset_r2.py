@@ -70,6 +70,20 @@ DIR_SCENES = [
 ]
 
 
+def _step_bounded(r, spp, batch=128):
+    """step_many in bounded programs with host syncs between them.
+
+    A single 2048-iteration wavefront program over the 23k-face ship runs
+    long enough that the TPU worker dies mid-program ('kernel fault');
+    ~4s programs with a sync in between keep the worker alive."""
+    done = 0
+    while done < spp:
+        n = min(batch, spp - done)
+        r.step_many(n)
+        np.asarray(r.image.x[:4])  # block_until_ready is a no-op here
+        done += n
+
+
 def save_master(out_dir, stem, noisy_r, clean_r):
     os.makedirs(out_dir, exist_ok=True)
     np.savez(
@@ -88,12 +102,21 @@ def gen_masters():
         scene = load_scene(path)
         scene.set_resolution(RES, RES)
         on_tpu = jax.default_backend() != "cpu"
-        opts = RenderOptions(megakernel=on_tpu and mega)
+        # face_chunk=32 for wavefront meshes: at 384x384 the chunk-128
+        # batched program kernel-faults the TPU worker (scripts/
+        # probe_ship_fault.py bisect: chunk 32 and single-step both fine).
+        opts = RenderOptions(
+            megakernel=on_tpu and mega,
+            face_chunk=32 if not mega else 128,
+        )
         noisy_r = Renderer(scene, opts, seed=1)
         clean_r = Renderer(scene, opts, seed=9001)
         t0 = time.time()
         for tag, poses in (("", train_poses), ("valid", valid_poses)):
             for ci, eye in enumerate(poses):
+                out_dir = os.path.join(OUT, tag) if tag else OUT
+                if os.path.exists(os.path.join(out_dir, f"{sname}_c{ci}.master.npz")):
+                    continue  # resumable: skip poses already rendered
                 for r in (noisy_r, clean_r):
                     if eye is not None:
                         r.move_camera(position=eye)
@@ -102,7 +125,7 @@ def gen_masters():
                 noisy_r.base_key = jax.random.key(100 + ci + (999 if tag else 0))
                 clean_r.base_key = jax.random.key(7000 + ci + (999 if tag else 0))
                 noisy_r.step_many(NOISY_SPP)
-                clean_r.step_many(CLEAN_SPP)
+                _step_bounded(clean_r, CLEAN_SPP)
                 save_master(os.path.join(OUT, tag) if tag else OUT,
                             f"{sname}_c{ci}", noisy_r, clean_r)
                 print(f"{sname}{'/'+tag if tag else ''}_c{ci} "
@@ -122,6 +145,8 @@ def gen_dir():
             out_dir = os.path.join(out_base, tag) if tag else out_base
             os.makedirs(out_dir, exist_ok=True)
             for ci, eye in enumerate(poses):
+                if os.path.exists(os.path.join(out_dir, f"{sname}_c{ci}.input.npy")):
+                    continue  # resumable
                 for r in (noisy_r, clean_r):
                     if eye is not None:
                         r.move_camera(position=eye)
@@ -130,7 +155,7 @@ def gen_dir():
                 noisy_r.base_key = jax.random.key(300 + ci + (999 if tag else 0))
                 clean_r.base_key = jax.random.key(8000 + ci + (999 if tag else 0))
                 noisy_r.step_many(DIR_NOISY_SPP)
-                clean_r.step_many(DIR_CLEAN_SPP)
+                _step_bounded(clean_r, DIR_CLEAN_SPP)
                 np.save(os.path.join(out_dir, f"{sname}_c{ci}.input.npy"),
                         noisy_r.dir_image().astype(np.float32))
                 np.save(os.path.join(out_dir, f"{sname}_c{ci}.target.npy"),
