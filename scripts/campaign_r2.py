@@ -145,7 +145,11 @@ def stage_eval(slots):
     from mygpuraytracer_tpu.denoise.weights import load_default_params
     from mygpuraytracer_tpu.train.infer import Infer, psnr, rmse
 
+    eval_path = os.path.join("results", "r2_eval.json")
     results = {}
+    if os.path.exists(eval_path):  # merge: per-slot incremental eval
+        with open(eval_path) as fh:
+            results = json.load(fh)
     masters = sorted(glob.glob(os.path.join(MASTER, "valid", "*.master.npz")))
     for slot in slots:
         if slot in ("rt_alb", "rt_nrm", "rtlightmap_dir", "rtlightmap_hdr"):
@@ -205,7 +209,7 @@ def stage_eval(slots):
             print(f"[{slot}] RMSE {results[slot]['rmse']:.5f}", flush=True)
 
     os.makedirs("results", exist_ok=True)
-    with open("results/r2_eval.json", "w") as fh:
+    with open(eval_path, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results, indent=2), flush=True)
 
