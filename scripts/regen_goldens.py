@@ -42,7 +42,7 @@ def main():
         print(f"{name}: mean {r.beauty().mean():.4f}")
 
     # Paths most at risk under BVH/megakernel work (VERDICT r1 weak #6):
-    # textured+bump mesh, depth of field, and the cluster-mesh tier.
+    # the small-mesh tier (cornellObj), DoF, and the cluster-mesh tier.
     from mygpuraytracer_tpu.scene import load_scene
 
     specs = [

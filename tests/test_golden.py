@@ -31,8 +31,9 @@ def _load(path):
 REPO = pathlib.Path(__file__).parent.parent
 
 # (golden name, scene factory, resolution, spp, options) — the last three
-# cover the paths most at risk under BVH/megakernel work: textured+bump
-# mesh (cornellObj), depth of field, and the cluster-mesh tier (shipOnly).
+# cover the paths most at risk under BVH/megakernel work: the small-mesh
+# tier (cornellObj's cube), depth of field, and the cluster-mesh tier
+# (shipOnly). The textured+bump path is oracle-tested in test_bump.py.
 CASES = [
     ("cornell_64_32spp", lambda: cornell_box(resolution=(64, 64)), 32,
      RenderOptions()),
