@@ -68,6 +68,11 @@ class RenderOptions:
     # primitive-only scenes without the first-bounce cache — other scenes
     # fall back to the wavefront path automatically.
     megakernel: bool = False
+    # Wavefront mesh tier: None = auto (cluster-BVH Pallas kernel on TPU for
+    # untextured meshes > 256 faces, chunked Moller-Trumbore stream
+    # elsewhere); True/False force it. The Pallas tier prunes whole 128-face
+    # Morton clusters per (8,128) ray sub-block against the best hit so far.
+    mesh_pallas: bool | None = None
 
     @property
     def first_bounce_cache_active(self) -> bool:

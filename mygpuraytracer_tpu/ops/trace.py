@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -381,8 +382,69 @@ def mesh_aabb_mask(meta, o: Vec3, d: Vec3) -> jnp.ndarray:
     return mask
 
 
+def mesh_pallas_hit(meta, fp, o: Vec3, d: Vec3, t_cap):
+    """Wavefront mesh tier: the cluster-BVH Pallas kernel over [N] rays.
+
+    Wraps ``mesh_cluster_hit`` in a standalone ``pallas_call`` gridded over
+    (8,128)-ray sub-blocks. This is the compositional alternative to fusing
+    the BVH into the megakernel (which trips a Mosaic compiler CHECK,
+    scripts/probe_mega_strip.py): XLA runs the bounce/iteration loops, Pallas
+    runs only the hot mesh test — each program stays small and compiles fast.
+
+    ``t_cap`` (the best primitive hit so far) seeds the per-cluster pruning,
+    so mesh clusters occluded by nearer primitives are never visited.
+    Replaces the O(rays x faces) chunk stream (pathtrace.cu:331 "todo BVH").
+
+    Returns (t [N] — inf where no mesh hit beats t_cap, face-normal Vec3
+    (unnormalized), geom id f32 [N]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = o.x.shape[0]
+    SUB, L = 8, 128
+    tile = SUB * L
+    n_pad = ((n + tile - 1) // tile) * tile
+    rows = n_pad // L
+
+    def to2d(a, fill):
+        out = jnp.full((n_pad,), fill, jnp.float32)
+        return out.at[:n].set(a).reshape(rows, L)
+
+    # Padding rays sit far outside every cluster AABB with t_cap 0, so
+    # all-padding sub-blocks never fire a cluster visit.
+    ins = (
+        to2d(o.x, 1e7), to2d(o.y, 1e7), to2d(o.z, 1e7),
+        to2d(d.x, 1.0), to2d(d.y, 0.0), to2d(d.z, 0.0),
+        to2d(t_cap, 0.0),
+    )
+
+    def kernel(fp_ref, ox, oy, oz, dx, dy, dz, tc, t_out, fx, fy, fz, g_out):
+        ob = Vec3(ox[:, :], oy[:, :], oz[:, :])
+        db = Vec3(dx[:, :], dy[:, :], dz[:, :])
+        win, t, fn, gid = mesh_cluster_hit(meta, fp_ref, ob, db, tc[:, :])
+        t_out[:, :] = jnp.where(win, t, jnp.inf)
+        fx[:, :] = fn.x
+        fy[:, :] = fn.y
+        fz[:, :] = fn.z
+        g_out[:, :] = gid
+
+    spec = pl.BlockSpec((SUB, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [spec] * 7,
+        out_specs=[spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * 5,
+        interpret=jax.default_backend() == "cpu",
+    )(fp, *ins)
+    mt, fx, fy, fz, gf = [a.reshape(-1)[:n] for a in outs]
+    return mt, Vec3(fx, fy, fz), gf
+
+
 def intersect_soa(
-    meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128, bounding_box: bool = False
+    meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128, bounding_box: bool = False,
+    mesh_pallas: bool | None = None,
 ) -> HitSoA:
     """Nearest hit over the whole scene with materials resolved in-loop.
 
@@ -400,12 +462,29 @@ def intersect_soa(
         with_bump = any(g.bump > 0 for g in meta.geoms)
         n_extras = 10 if with_bump else 0
 
+        # Cluster-BVH Pallas tier (default on TPU): big untextured meshes.
+        # The chunked Moller-Trumbore stream below stays as the oracle and
+        # covers textured/bumped meshes (it carries uv + TBN extras).
+        if mesh_pallas is None:
+            mesh_pallas = jax.default_backend() != "cpu"
+        use_pallas = (
+            mesh_pallas
+            and bool(meta.mesh_clusters)
+            and not with_bump
+            and not meta.has_textures
+            and meta.num_faces > 256
+        )
         def run_mesh(_):
             return mesh_intersect_soa(
                 meta, dev, o, d, face_chunk, with_bump=with_bump
             )
 
-        if bounding_box:
+        if use_pallas:
+            # Per-cluster AABB pruning subsumes the bounding_box pre-test.
+            zeros = jnp.zeros(o.x.shape, jnp.float32)
+            mt, mn, mgid = mesh_pallas_hit(meta, dev.face_plane, o, d, t_best)
+            mu, mv, bex = zeros, zeros, ()
+        elif bounding_box:
             box_mask = mesh_aabb_mask(meta, o, d)
 
             def skip_mesh(_):

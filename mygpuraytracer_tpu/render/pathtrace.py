@@ -160,6 +160,7 @@ def render_sample(
             h = intersect_soa(
                 meta, dev, state.origin, state.direction, options.face_chunk,
                 bounding_box=options.bounding_box,
+                mesh_pallas=options.mesh_pallas,
             )
             return h, h
 
@@ -171,6 +172,7 @@ def render_sample(
         hit0 = intersect_soa(
             meta, dev, state.origin, state.direction, options.face_chunk,
             bounding_box=options.bounding_box,
+            mesh_pallas=options.mesh_pallas,
         )
         new_cache = cache
 
@@ -203,6 +205,7 @@ def render_sample(
             h = intersect_soa(
                 meta, dev, s.origin, s.direction, options.face_chunk,
                 bounding_box=options.bounding_box,
+                mesh_pallas=options.mesh_pallas,
             )
             u = lax.dynamic_slice_in_dim(U, 4 + 3 * depth_idx, 3, axis=0)
             if do_sort:

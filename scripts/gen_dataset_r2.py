@@ -56,8 +56,10 @@ SCENES = [
      [None] + _ring_poses(11, 20), _ring_poses(3, 21), True),
     ("sphere", f"{REF}/sphere.txt",
      [None] + _ring_poses(5, 30), _ring_poses(2, 31), True),
-    ("ship", "scenes/cornellShip.txt",
-     [None] + _ring_poses(7, 40), _ring_poses(2, 41), False),
+    # ship dropped from the denoiser dataset: 2048-spp ground truths over the
+    # 23k-face mesh cost ~45 min/pose even on the Pallas cluster tier (~0.1
+    # Msam/s on incoherent bounces; >60s programs trip the worker watchdog).
+    # The denoiser quality bar is evaluated on the reference scenes.
 ]
 
 # sphere is a lone emissive object — no scatter surfaces, so its SH-L1

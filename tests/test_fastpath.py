@@ -180,3 +180,48 @@ def test_bvh_tier_matches_oracle():
         assert np.isclose(a[m], np.asarray(b)[m], rtol=1e-2, atol=1e-2).mean() > 0.99
     assert (obj_k[m] == np.asarray(ref.is_obj)[m].astype(np.float32)).mean() > 0.995
     np.testing.assert_allclose(em_k[m], np.asarray(ref.emit)[m], atol=1e-4)
+
+
+def test_wavefront_pallas_mesh_tier_matches_chunked():
+    """intersect_soa's cluster-BVH Pallas tier (mesh_pallas=True, the TPU
+    default for big untextured meshes) agrees with the chunked brute-force
+    stream across a multi-tile wavefront — including the t_cap pruning
+    against primitive hits (walls in front of / behind the ship)."""
+    from mygpuraytracer_tpu.ops.trace import intersect_soa
+    from mygpuraytracer_tpu.ops.vec3 import Vec3
+    from mygpuraytracer_tpu.scene import load_scene
+    from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+
+    scene = load_scene("scenes/cornellShip.txt")
+    scene.set_resolution(8, 8)
+    dev, meta = build_device_scene(scene, 128)
+
+    rng = np.random.default_rng(1)
+    n = 2 * 8 * 128 + 77  # 2 full (8,128) grid tiles + a ragged tail
+    o_np = rng.uniform(-4, 9, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    aim = np.array([1.0, 3.0, 3.0]) - o_np[: n // 2]
+    d_np[: n // 2] = aim + 0.3 * rng.normal(size=(n // 2, 3))
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+
+    fast = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True)
+    ref = intersect_soa(meta, dev, o, d, 128, mesh_pallas=False)
+
+    t_f = np.where(np.asarray(fast.hit), np.asarray(fast.t), -1.0)
+    t_r = np.where(np.asarray(ref.hit), np.asarray(ref.t), -1.0)
+    close = np.isclose(t_f, t_r, rtol=2e-3, atol=2e-3)
+    assert close.mean() > 0.995, f"t mismatch on {(~close).sum()}/{n} lanes"
+    m = close & (t_f > 0)
+    assert m.sum() > n // 4
+    obj_f, obj_r = np.asarray(fast.is_obj), np.asarray(ref.is_obj)
+    assert (obj_f[m] == obj_r[m]).mean() > 0.995
+    for a, b in ((fast.normal.x, ref.normal.x), (fast.normal.y, ref.normal.y),
+                 (fast.normal.z, ref.normal.z)):
+        assert np.isclose(
+            np.asarray(a)[m], np.asarray(b)[m], rtol=1e-2, atol=1e-2
+        ).mean() > 0.99
+    np.testing.assert_allclose(
+        np.asarray(fast.emit)[m], np.asarray(ref.emit)[m], atol=1e-4
+    )
