@@ -18,22 +18,28 @@ import campaign_r2 as c
 
 # rt_ldr_alb feeds the fused render->denoise path (bench.py + the raytrace
 # app's CPUdenoise analog); the alb_nrm tiers are the quality headline.
-PRIORITY = [
-    "rt_ldr_alb", "rt_hdr_alb", "rt_ldr_alb_nrm", "rt_hdr_alb_nrm",
-    "rt_alb", "rt_nrm", "rt_ldr", "rt_hdr",
-    "rt_ldr_calb_cnrm", "rt_hdr_calb_cnrm",
-    "rtlightmap_hdr", "rtlightmap_dir",
-]
+# Per-slot epoch budget: ~225 img/s measured => ~2.3 s/epoch; the full
+# reference regime (2000) goes to the flagship slot, the rest get what a
+# single-chip session affords (wall-clock, not quality, is the binding
+# constraint — checkpoints resume, so later rounds can extend any slot).
+PRIORITY = {
+    "rt_ldr_alb": 2000, "rt_hdr_alb": 1200,
+    "rt_ldr_alb_nrm": 1000, "rt_hdr_alb_nrm": 1000,
+    "rt_alb": 400, "rt_nrm": 400,
+    "rt_ldr": 600, "rt_hdr": 600,
+    "rt_ldr_calb_cnrm": 500, "rt_hdr_calb_cnrm": 500,
+    "rtlightmap_hdr": 500, "rtlightmap_dir": 500,
+}
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    slots = sys.argv[2].split(",") if len(sys.argv) > 2 and sys.argv[2] else PRIORITY
+    override = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    slots = sys.argv[2].split(",") if len(sys.argv) > 2 and sys.argv[2] else list(PRIORITY)
     t0 = time.time()
     c.stage_prep()
     print(f"prep done ({time.time()-t0:.0f}s)", flush=True)
     for slot in slots:
         t1 = time.time()
-        c.stage_train([slot], epochs)
+        c.stage_train([slot], override or PRIORITY[slot])
         print(f"### {slot} trained+exported ({time.time()-t1:.0f}s)", flush=True)
         # eval the slot just trained: partial results ship too (r2_eval.json
         # merges across calls)
