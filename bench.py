@@ -69,6 +69,21 @@ def main() -> None:
     img_obj = robj.beauty()
     rc, ms_cornell = _bench_scene(get_scene("cornell.txt"), on_tpu)
 
+    # ---- 1b. 23k-face mesh via the wavefront cluster-BVH Pallas tier --------
+    # (honest number: far below the primitive-scene tiers; docs/MESH_TIERS.md.
+    # batch 8 keeps each program under the TPU worker's runtime watchdog.)
+    ship_ms = None
+    try:
+        ship_path = "scenes/shipOnly.txt"
+        if os.path.exists(ship_path):
+            ship = load_scene(ship_path)
+            ship.set_resolution(256, 256)
+            _, ship_ms = _bench_scene(
+                ship, megakernel=False, min_time=2.0, max_iters=32, batch=8
+            )
+    except Exception as e:
+        print(f"ship bench failed: {e}", file=sys.stderr)
+
     # ---- 2. fused denoise ms/frame ------------------------------------------
     denoise_ms = None
     denoised_16 = None
@@ -122,6 +137,7 @@ def main() -> None:
         "unit": "Msamples/s",
         "vs_baseline": round(ms_obj / 50.0, 3),
         "cornell_msamples_per_sec": round(ms_cornell, 2),
+        "ship23k_msamples_per_sec": None if ship_ms is None else round(ship_ms, 2),
         "denoise_ms_per_frame": None if denoise_ms is None else round(denoise_ms, 2),
         "rmse_denoised_16spp_vs_1024spp": None if rmse is None else round(rmse, 5),
         "sanity": {
