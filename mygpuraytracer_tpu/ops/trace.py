@@ -442,9 +442,41 @@ def mesh_pallas_hit(meta, fp, o: Vec3, d: Vec3, t_cap):
     return mt, Vec3(fx, fy, fz), gf
 
 
+def _mesh_sort_key(meta, o: Vec3, d: Vec3) -> jnp.ndarray:
+    """Coherence key for sorted mesh queries: (origin cell | direction bin).
+
+    The cluster tier's cost is (visited clusters per ray block) x 128 steps;
+    measured diffuse-bounce blocks union to ~73% of the mesh while the
+    per-ray footprint is ~0.6 clusters (scripts/sim_union.py). Grouping rays
+    by a coarse origin cell (4x4x4 over the mesh AABB union) and a direction
+    bin (octant + 2x3-bit anisotropy) shrinks per-block unions toward the
+    per-ray footprint. 15-bit key: [cell:6][oct:3][ax:3][ay:3]."""
+    lo = [min(b[0][i] for b in meta.mesh_clusters) for i in range(3)]
+    hi = [max(b[1][i] for b in meta.mesh_clusters) for i in range(3)]
+
+    def q(x, a, b, n):
+        t = (x - a) / max(b - a, 1e-6)
+        return jnp.clip((t * n).astype(jnp.int32), 0, n - 1)
+
+    cell = (
+        (q(o.x, lo[0], hi[0], 4) << 4)
+        | (q(o.y, lo[1], hi[1], 4) << 2)
+        | q(o.z, lo[2], hi[2], 4)
+    )
+    oct_ = (
+        ((d.x > 0).astype(jnp.int32) << 2)
+        | ((d.y > 0).astype(jnp.int32) << 1)
+        | (d.z > 0).astype(jnp.int32)
+    )
+    s = jnp.abs(d.x) + jnp.abs(d.y) + jnp.abs(d.z) + 1e-12
+    ax = jnp.clip((jnp.abs(d.x) / s * 8).astype(jnp.int32), 0, 7)
+    ay = jnp.clip((jnp.abs(d.y) / s * 8).astype(jnp.int32), 0, 7)
+    return (cell << 9) | (oct_ << 6) | (ax << 3) | ay
+
+
 def intersect_soa(
     meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128, bounding_box: bool = False,
-    mesh_pallas: bool | None = None,
+    mesh_pallas: bool | None = None, mesh_sort: bool = False,
 ) -> HitSoA:
     """Nearest hit over the whole scene with materials resolved in-loop.
 
@@ -482,7 +514,20 @@ def intersect_soa(
         if use_pallas:
             # Per-cluster AABB pruning subsumes the bounding_box pre-test.
             zeros = jnp.zeros(o.x.shape, jnp.float32)
-            mt, mn, mgid = mesh_pallas_hit(meta, dev.face_plane, o, d, t_best)
+            if mesh_sort:
+                # Experimental: query in coherence order, scatter back.
+                order = jnp.argsort(_mesh_sort_key(meta, o, d))
+                os_ = Vec3(o.x[order], o.y[order], o.z[order])
+                ds_ = Vec3(d.x[order], d.y[order], d.z[order])
+                mt_s, mn_s, mg_s = mesh_pallas_hit(
+                    meta, dev.face_plane, os_, ds_, t_best[order]
+                )
+                unscatter = lambda a: jnp.zeros_like(a).at[order].set(a)
+                mt = unscatter(mt_s)
+                mn = Vec3(unscatter(mn_s.x), unscatter(mn_s.y), unscatter(mn_s.z))
+                mgid = unscatter(mg_s)
+            else:
+                mt, mn, mgid = mesh_pallas_hit(meta, dev.face_plane, o, d, t_best)
             mu, mv, bex = zeros, zeros, ()
         elif bounding_box:
             box_mask = mesh_aabb_mask(meta, o, d)

@@ -161,6 +161,7 @@ def render_sample(
                 meta, dev, state.origin, state.direction, options.face_chunk,
                 bounding_box=options.bounding_box,
                 mesh_pallas=options.mesh_pallas,
+                mesh_sort=options.mesh_sort,
             )
             return h, h
 
@@ -173,6 +174,7 @@ def render_sample(
             meta, dev, state.origin, state.direction, options.face_chunk,
             bounding_box=options.bounding_box,
             mesh_pallas=options.mesh_pallas,
+            mesh_sort=options.mesh_sort,
         )
         new_cache = cache
 
@@ -206,6 +208,7 @@ def render_sample(
                 meta, dev, s.origin, s.direction, options.face_chunk,
                 bounding_box=options.bounding_box,
                 mesh_pallas=options.mesh_pallas,
+                mesh_sort=options.mesh_sort,
             )
             u = lax.dynamic_slice_in_dim(U, 4 + 3 * depth_idx, 3, axis=0)
             if do_sort:
