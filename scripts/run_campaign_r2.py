@@ -23,12 +23,12 @@ import campaign_r2 as c
 # single-chip session affords (wall-clock, not quality, is the binding
 # constraint — checkpoints resume, so later rounds can extend any slot).
 PRIORITY = {
-    "rt_ldr_alb": 2000, "rt_hdr_alb": 1200,
-    "rt_ldr_alb_nrm": 1000, "rt_hdr_alb_nrm": 1000,
+    "rt_ldr_alb": 2000, "rt_hdr_alb": 1000,
+    "rt_ldr_alb_nrm": 1000, "rt_hdr_alb_nrm": 800,
     "rt_alb": 400, "rt_nrm": 400,
-    "rt_ldr": 600, "rt_hdr": 600,
-    "rt_ldr_calb_cnrm": 500, "rt_hdr_calb_cnrm": 500,
-    "rtlightmap_hdr": 500, "rtlightmap_dir": 500,
+    "rt_ldr": 400, "rt_hdr": 400,
+    "rt_ldr_calb_cnrm": 400, "rt_hdr_calb_cnrm": 400,
+    "rtlightmap_hdr": 400, "rtlightmap_dir": 400,
 }
 
 if __name__ == "__main__":
