@@ -324,12 +324,35 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
     base_key = jrandom.key(cfg.seed)
 
     step = start_epoch * cfg.steps_per_epoch
+    first_loss = None
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         params, opt_state, mean_loss = epoch_fn(
             params, opt_state, jrandom.fold_in(base_key, epoch)
         )
         step += cfg.steps_per_epoch
+        # Divergence guard: HDR loss surfaces can blow up past the OneCycle
+        # peak even with global-norm clipping (params saturate and never
+        # recover). Revert to the last good checkpoint and stop this run —
+        # the caller/exporter gets usable weights, and a relaunch (with a
+        # lower max_lr) resumes from the same checkpoint.
+        loss_val = float(mean_loss)
+        if first_loss is None and np.isfinite(loss_val):
+            first_loss = max(loss_val, 1e-6)
+        diverged = not np.isfinite(loss_val) or (
+            first_loss is not None and loss_val > 1e3 * first_loss
+        )
+        if diverged:
+            ckpt = latest_checkpoint(cfg.result_dir)
+            msg = {"epoch": epoch + 1, "diverged": True, "loss": loss_val,
+                   "reverted_to": ckpt["epoch"] if ckpt else None}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(msg) + "\n")
+            if log_fn:
+                log_fn(msg)
+            if ckpt is not None:
+                params = ckpt["params"]
+            break
         rec = {
             "epoch": epoch + 1,
             "step": step,

@@ -120,7 +120,10 @@ def stage_train(slots, epochs):
             steps_per_epoch=STEPS_PER_EPOCH,
             batch_size=BATCH_SIZE,
             tile_size=min(256, x.shape[1]),
-            max_lr=3e-4,
+            # HDR slots (pu/log transfers) diverge at the 3e-4 OneCycle peak
+            # (rt_hdr_alb blew up to 1e7 loss at epoch 150 with grad-clip 1.0
+            # active); the LDR/snorm surfaces tolerate it.
+            max_lr=1e-4 if slot_cfg_fields(slot)["hdr"] else 3e-4,
             precision="mixed",
             save_epochs=max(epochs // 10, 1),
             valid_epochs=max(epochs // 20, 1),
