@@ -340,7 +340,7 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
         if first_loss is None and np.isfinite(loss_val):
             first_loss = max(loss_val, 1e-6)
         diverged = not np.isfinite(loss_val) or (
-            first_loss is not None and loss_val > 1e3 * first_loss
+            first_loss is not None and loss_val > 50 * first_loss
         )
         if diverged:
             ckpt = latest_checkpoint(cfg.result_dir)

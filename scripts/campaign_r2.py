@@ -115,7 +115,13 @@ def stage_train(slots, epochs):
             data_dir=data_dir,
             result_dir=os.path.join(RESULTS_DIR, slot),
             in_channels=WEIGHTS_CHANNELS[slot],
-            loss="l1_msssim",
+            # The l1_msssim HDR surface blows up deterministically at the
+            # OneCycle peak (epochs ~101-150 at BOTH 3e-4 and 1e-4, clean
+            # data, grad-clip active) — the MS-SSIM term in bf16 over
+            # pu-transferred values is numerically fragile. HDR slots train
+            # on plain L1 (also an OIDN-supported loss); LDR/snorm keep the
+            # reference's l1_msssim.
+            loss="l1" if slot_cfg_fields(slot)["hdr"] else "l1_msssim",
             num_epochs=epochs,
             steps_per_epoch=STEPS_PER_EPOCH,
             batch_size=BATCH_SIZE,
