@@ -111,25 +111,25 @@ def stage_train(slots, epochs):
         data_dir = DIR_DATA if slot == "rtlightmap_dir" else os.path.join(
             SLOTS_DIR, slot)
         x, y = load_stack(data_dir)
+        # Fragile surfaces: the MS-SSIM term blows up deterministically on
+        # HDR (pu/log) values near the OneCycle peak (rt_hdr_alb -> 1e7 loss
+        # at BOTH 3e-4 and 1e-4, clean bounded data, grad-clip active), and
+        # the 9-channel tiers diverge within the warmup even on LDR
+        # (rt_ldr_alb_nrm -> loss 45 by epoch 56). Those train on plain L1
+        # (also an OIDN-supported loss) at a 1e-4 peak; measured quality
+        # matches (rt_hdr_alb/L1 31.7 dB vs rt_ldr_alb/l1_msssim 32.1 dB)
+        # and L1 is 2.2x faster (no SSIM pyramid).
+        fragile = slot_cfg_fields(slot)["hdr"] or WEIGHTS_CHANNELS[slot] >= 9
         cfg = TrainConfig(
             data_dir=data_dir,
             result_dir=os.path.join(RESULTS_DIR, slot),
             in_channels=WEIGHTS_CHANNELS[slot],
-            # The l1_msssim HDR surface blows up deterministically at the
-            # OneCycle peak (epochs ~101-150 at BOTH 3e-4 and 1e-4, clean
-            # data, grad-clip active) — the MS-SSIM term in bf16 over
-            # pu-transferred values is numerically fragile. HDR slots train
-            # on plain L1 (also an OIDN-supported loss); LDR/snorm keep the
-            # reference's l1_msssim.
-            loss="l1" if slot_cfg_fields(slot)["hdr"] else "l1_msssim",
+            loss="l1" if fragile else "l1_msssim",
             num_epochs=epochs,
             steps_per_epoch=STEPS_PER_EPOCH,
             batch_size=BATCH_SIZE,
             tile_size=min(256, x.shape[1]),
-            # HDR slots (pu/log transfers) diverge at the 3e-4 OneCycle peak
-            # (rt_hdr_alb blew up to 1e7 loss at epoch 150 with grad-clip 1.0
-            # active); the LDR/snorm surfaces tolerate it.
-            max_lr=1e-4 if slot_cfg_fields(slot)["hdr"] else 3e-4,
+            max_lr=1e-4 if fragile else 3e-4,
             precision="mixed",
             save_epochs=max(epochs // 10, 1),
             valid_epochs=max(epochs // 20, 1),
