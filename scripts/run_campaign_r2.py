@@ -25,10 +25,10 @@ import campaign_r2 as c
 PRIORITY = {
     "rt_ldr_alb": 2000, "rt_hdr_alb": 1000,
     "rt_ldr_alb_nrm": 1000, "rt_hdr_alb_nrm": 800,
-    "rt_alb": 400, "rt_nrm": 400,
-    "rt_ldr": 400, "rt_hdr": 400,
-    "rt_ldr_calb_cnrm": 400, "rt_hdr_calb_cnrm": 400,
-    "rtlightmap_hdr": 400, "rtlightmap_dir": 400,
+    "rt_alb": 400, "rt_nrm": 200,
+    "rt_ldr": 300, "rt_hdr": 300,
+    "rt_ldr_calb_cnrm": 300, "rt_hdr_calb_cnrm": 300,
+    "rtlightmap_hdr": 300, "rtlightmap_dir": 300,
 }
 
 if __name__ == "__main__":
