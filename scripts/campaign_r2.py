@@ -151,8 +151,14 @@ def stage_train(slots, epochs):
 
 def stage_eval(slots):
     """Full-image denoise of held-out poses; RMSE/PSNR vs ground truth."""
+    from mygpuraytracer_tpu.denoise import weights as _weights
     from mygpuraytracer_tpu.denoise.weights import load_default_params
     from mygpuraytracer_tpu.train.infer import Infer, psnr, rmse
+
+    # The runtime caches loaded weight blobs per process; evals run in the
+    # same long-lived process that just re-exported them, so drop the cache
+    # or post-training evals silently score the pre-training weights.
+    _weights._cache.clear()
 
     eval_path = os.path.join("results", "r2_eval.json")
     results = {}
