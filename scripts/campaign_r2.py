@@ -218,7 +218,13 @@ def stage_eval(slots):
         for ip in sorted(glob.glob(os.path.join(vdir, "*.input.npy"))):
             x = np.load(ip)
             y = np.load(ip.replace(".input.npy", ".target.npy"))
-            rs.append(rmse(infer(x), y))
+            out = infer(x)
+            if slot == "rt_alb":
+                # the albedo AOV stores emitters as emittance*color (ke*5,
+                # shade path iter==1 rule); the LDR prefilter trains and
+                # denoises in the clamped [0,1] domain — score it there.
+                out, y = np.clip(out, 0, 1), np.clip(y, 0, 1)
+            rs.append(rmse(out, y))
         if rs:
             results[slot] = {"rmse": float(np.mean(rs)), "poses": len(rs)}
             print(f"[{slot}] RMSE {results[slot]['rmse']:.5f}", flush=True)
