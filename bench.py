@@ -126,7 +126,13 @@ def main() -> None:
                           RenderOptions(megakernel=on_tpu), seed=2)
             gt.step_many(1024)
             gt_img = gt.beauty()
-            diff = denoised_16.astype(np.float64) - gt_img.astype(np.float64)
+            # rt_ldr_alb is the LDR filter: it denoises the clamped [0,1]
+            # display image (emitter pixels carry radiance ~5*pi in the raw
+            # accumulator). Score in the same domain, like oidnDenoise's
+            # LDR reference compare.
+            diff = np.clip(denoised_16, 0.0, 1.0).astype(np.float64) - np.clip(
+                gt_img, 0.0, 1.0
+            ).astype(np.float64)
             rmse = float(np.sqrt(np.mean(diff * diff)))
     except Exception as e:
         print(f"rmse bench failed: {e}", file=sys.stderr)
