@@ -12,7 +12,7 @@ for name, maker, spp in (('cornell', cornell_box, 2048), ('cornellGlass', cornel
     s = maker(resolution=(400, 400))
     r = Renderer(s, RenderOptions(megakernel=True), seed=0)
     t0 = time.time()
-    out, beauty = r.render_denoised(iterations=spp, batch=256)
+    out, beauty = r.render_denoised(iterations=spp, batch=128)
     print(f'{name}: {spp}spp in {time.time()-t0:.1f}s, beauty mean {beauty.mean():.3f}', flush=True)
     write_png(f'examples/{name}_beauty_{spp}spp.png', beauty[:, ::-1])
     write_png(f'examples/{name}_albedo.png', r.albedo_image()[:, ::-1])
