@@ -73,11 +73,13 @@ class RenderOptions:
     # elsewhere); True/False force it. The Pallas tier prunes whole 128-face
     # Morton clusters per (8,128) ray sub-block against the best hit so far.
     mesh_pallas: bool | None = None
-    # EXPERIMENTAL: sort mesh queries by (origin cell, direction bin) before
-    # the Pallas tier and scatter results back — shrinks per-block cluster
-    # unions toward the per-ray footprint (docs/MESH_TIERS.md next-levers #1).
-    # Default off: the sort/gather overhead is unmeasured on hardware.
-    mesh_sort: bool = False
+    # EXPERIMENTAL mesh-query reorder before the Pallas tier (results are
+    # scattered back; image-identical either way — docs/MESH_TIERS.md):
+    #   "need"/True — stable-partition by the 1-bit "ray can reach a mesh
+    #     AABB" key; ~89% of bounce-ray blocks then skip every cluster.
+    #   "coherence" — (origin cell | direction bin) key; measured a wash.
+    # False (default): query in pixel order.
+    mesh_sort: bool | str = False
 
     @property
     def first_bounce_cache_active(self) -> bool:

@@ -476,7 +476,7 @@ def _mesh_sort_key(meta, o: Vec3, d: Vec3) -> jnp.ndarray:
 
 def intersect_soa(
     meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128, bounding_box: bool = False,
-    mesh_pallas: bool | None = None, mesh_sort: bool = False,
+    mesh_pallas: bool | None = None, mesh_sort: bool | str = False,
 ) -> HitSoA:
     """Nearest hit over the whole scene with materials resolved in-loop.
 
@@ -515,8 +515,20 @@ def intersect_soa(
             # Per-cluster AABB pruning subsumes the bounding_box pre-test.
             zeros = jnp.zeros(o.x.shape, jnp.float32)
             if mesh_sort:
-                # Experimental: query in coherence order, scatter back.
-                order = jnp.argsort(_mesh_sort_key(meta, o, d))
+                # Experimental reorder-before-query modes, scatter back:
+                #   "need" / True — stable-partition rays by the 1-bit "can
+                #     this ray reach a mesh AABB at all" key. Only ~11% of
+                #     bounce rays can (scripts/sim_union.py), so needy rays
+                #     concentrate into a few dense blocks and the remaining
+                #     ~89% of blocks skip every cluster via the existing
+                #     scalar conds.
+                #   "coherence" — (origin cell | direction bin) key;
+                #     measured a wash on hardware (docs/MESH_TIERS.md).
+                if mesh_sort == "coherence":
+                    key = _mesh_sort_key(meta, o, d)
+                else:  # "need" (default for mesh_sort=True)
+                    key = jnp.where(mesh_aabb_mask(meta, o, d), 0, 1)
+                order = jnp.argsort(key, stable=True)
                 os_ = Vec3(o.x[order], o.y[order], o.z[order])
                 ds_ = Vec3(d.x[order], d.y[order], d.z[order])
                 mt_s, mn_s, mg_s = mesh_pallas_hit(

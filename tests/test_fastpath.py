@@ -209,13 +209,15 @@ def test_wavefront_pallas_mesh_tier_matches_chunked():
     fast = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True)
     ref = intersect_soa(meta, dev, o, d, 128, mesh_pallas=False)
 
-    # sorted-coherence variant must scatter back to identical lane order
-    srt = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True, mesh_sort=True)
-    np.testing.assert_allclose(
-        np.asarray(srt.t)[np.asarray(fast.hit)],
-        np.asarray(fast.t)[np.asarray(fast.hit)], rtol=1e-5, atol=1e-5,
-    )
-    np.testing.assert_array_equal(np.asarray(srt.hit), np.asarray(fast.hit))
+    # reorder variants must scatter back to identical lane order
+    for mode in ("need", "coherence"):
+        srt = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True,
+                            mesh_sort=mode)
+        np.testing.assert_allclose(
+            np.asarray(srt.t)[np.asarray(fast.hit)],
+            np.asarray(fast.t)[np.asarray(fast.hit)], rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_array_equal(np.asarray(srt.hit), np.asarray(fast.hit))
 
     t_f = np.where(np.asarray(fast.hit), np.asarray(fast.t), -1.0)
     t_r = np.where(np.asarray(ref.hit), np.asarray(ref.t), -1.0)
