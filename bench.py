@@ -1,14 +1,16 @@
 """Framework benchmark — prints ONE JSON line for the driver.
 
-Covers all three BASELINE.md metrics:
+Covers all five BASELINE.md configs plus the denoiser metrics:
   - value/unit: Msamples/sec path-tracing scenes/cornellObj.txt at the
     canonical 800x800 depth-8 workload (the north-star scene; >= 50 target);
-  - cornell_msamples_per_sec: same for the plain Cornell box;
-  - denoise_ms_per_frame: fused on-device render->denoise (rt_hdr_alb,
+  - cornell / cornellGlass / cornell_dof_cache_sort / ship23k
+    Msamples/sec: the other four BASELINE configs (#1-#4);
+  - denoise_ms_per_frame: fused on-device render->denoise (rt_ldr_alb,
     albedo-guided) U-Net execute time at 800x800;
-  - rmse_denoised: RMSE of the denoised 16 spp cornell render against a
-    1024 spp ground truth render (the 1e-2 bar; no CUDA machine exists here,
-    so the framework's own converged render stands in for the reference).
+  - rmse_{ldr,raw}_denoised_16spp_vs_own_1024spp: RMSE of the denoised
+    16 spp cornell render against the framework's own 1024 spp converged
+    render (the 1e-2 bar; no CUDA machine exists here, so the own converged
+    render stands in for the CUDA reference — the key name says so).
 
 Timing excludes compilation and uses explicit device->host syncs; samples
 are dispatched as one device program per batch.
@@ -22,11 +24,15 @@ import time
 import numpy as np
 
 
-def _bench_scene(scene, megakernel, min_time=2.0, max_iters=1024, batch=128):
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _bench_scene(scene, megakernel, min_time=2.0, max_iters=1024, batch=128,
+                 **opts):
     from mygpuraytracer_tpu.config import RenderOptions
     from mygpuraytracer_tpu.render import Renderer
 
-    r = Renderer(scene, RenderOptions(megakernel=megakernel), seed=0)
+    r = Renderer(scene, RenderOptions(megakernel=megakernel, **opts), seed=0)
 
     def sync():
         np.asarray(r.image.x[:8])
@@ -69,18 +75,41 @@ def main() -> None:
     img_obj = robj.beauty()
     rc, ms_cornell = _bench_scene(get_scene("cornell.txt"), on_tpu)
 
+    # ---- 1a. remaining BASELINE configs: glass/Fresnel (#2) and the
+    # DoF + first-bounce-cache + sort-by-material wavefront path (#3) --------
+    glass_ms = dof_ms = None
+    try:
+        from mygpuraytracer_tpu.scene.builtin import cornell_glass
+
+        glass_path = os.path.join(ref_scenes, "cornellGlass.txt")
+        glass = (load_scene(glass_path) if os.path.exists(glass_path)
+                 else cornell_glass())
+        _, glass_ms = _bench_scene(glass, on_tpu)
+    except Exception as e:
+        print(f"glass bench failed: {e}", file=sys.stderr)
+    try:
+        _, dof_ms = _bench_scene(
+            get_scene("cornell.txt"), megakernel=False,
+            depth_of_field=True, cache_first_bounce=True,
+            sort_by_material=True, antialiasing=False,
+        )
+    except Exception as e:
+        print(f"dof bench failed: {e}", file=sys.stderr)
+
     # ---- 1b. 23k-face mesh via the wavefront cluster-BVH Pallas tier --------
     # (honest number: far below the primitive-scene tiers; docs/MESH_TIERS.md.
     # batch 8 keeps each program under the TPU worker's runtime watchdog.)
     ship_ms = None
     try:
-        ship_path = "scenes/shipOnly.txt"
+        ship_path = os.path.join(REPO_DIR, "scenes/shipOnly.txt")
         if os.path.exists(ship_path):
             ship = load_scene(ship_path)
             ship.set_resolution(256, 256)
             _, ship_ms = _bench_scene(
                 ship, megakernel=False, min_time=2.0, max_iters=32, batch=8
             )
+        else:
+            print(f"ship bench skipped: {ship_path} not found", file=sys.stderr)
     except Exception as e:
         print(f"ship bench failed: {e}", file=sys.stderr)
 
@@ -119,7 +148,11 @@ def main() -> None:
         print(f"denoise bench failed: {e}", file=sys.stderr)
 
     # ---- 3. RMSE of denoised 16 spp vs 1024 spp ground truth ----------------
-    rmse = None
+    # Ground truth is the framework's OWN converged render (no CUDA machine
+    # exists here) — the key names say so. Both the display-domain ([0,1]
+    # clamped, the LDR filter's native domain) and the raw unclamped RMSE are
+    # reported so trends across rounds stay comparable.
+    rmse = rmse_raw = None
     try:
         if denoised_16 is not None:
             gt = Renderer(get_scene("cornell.txt"),
@@ -134,18 +167,24 @@ def main() -> None:
                 gt_img, 0.0, 1.0
             ).astype(np.float64)
             rmse = float(np.sqrt(np.mean(diff * diff)))
+            diff_raw = denoised_16.astype(np.float64) - gt_img.astype(np.float64)
+            rmse_raw = float(np.sqrt(np.mean(diff_raw * diff_raw)))
     except Exception as e:
         print(f"rmse bench failed: {e}", file=sys.stderr)
 
+    rnd = lambda v, k=2: None if v is None else round(v, k)
     result = {
         "metric": "cornellObj_800x800_depth8_path_trace",
         "value": round(ms_obj, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(ms_obj / 50.0, 3),
         "cornell_msamples_per_sec": round(ms_cornell, 2),
-        "ship23k_msamples_per_sec": None if ship_ms is None else round(ship_ms, 2),
-        "denoise_ms_per_frame": None if denoise_ms is None else round(denoise_ms, 2),
-        "rmse_denoised_16spp_vs_1024spp": None if rmse is None else round(rmse, 5),
+        "cornellGlass_msamples_per_sec": rnd(glass_ms),
+        "cornell_dof_cache_sort_msamples_per_sec": rnd(dof_ms),
+        "ship23k_msamples_per_sec": rnd(ship_ms),
+        "denoise_ms_per_frame": rnd(denoise_ms),
+        "rmse_ldr_denoised_16spp_vs_own_1024spp": rnd(rmse, 5),
+        "rmse_raw_denoised_16spp_vs_own_1024spp": rnd(rmse_raw, 5),
         "sanity": {
             "finite": bool(np.isfinite(img_obj).all()),
             "nonzero": bool(img_obj.mean() > 0.01),

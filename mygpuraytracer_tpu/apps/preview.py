@@ -179,17 +179,25 @@ class PreviewSession:
         cam = self.scene.state.camera
         w, h = cam.resolution
         with self.lock:
+            moved = False
             if "orbit" in msg:
                 dx, dy = msg["orbit"]
                 self.orbit.orbit(float(dx), float(dy), w, h)
+                moved = True
             if "zoom" in msg:
                 self.orbit.zoom_by(float(msg["zoom"]), h)
+                moved = True
             if "pan" in msg:
                 dx, dy = msg["pan"]
                 self.orbit.pan(float(dx), float(dy))
+                moved = True
             if msg.get("recenter"):
                 self.orbit.recenter()
-            self.camera_dirty = True
+                moved = True
+            # Only a recognized verb resets the accumulator (an empty POST
+            # must not restart progressive accumulation).
+            if moved:
+                self.camera_dirty = True
 
     def state(self) -> dict:
         with self.lock:

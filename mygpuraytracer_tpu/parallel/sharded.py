@@ -81,13 +81,15 @@ def render_multichip_sample(
             nrm = first_sel(first, out.normal, nrm)
             return img, alb, nrm, out.cache
 
-        # pvary: the carry becomes device-varying inside the loop (it depends
-        # on axis_index), so the init must be marked varying over 'dp' too.
-        z = lambda: lax.pvary(jnp.zeros((n,), jnp.float32), axis)
+        # pcast-to-varying: the carry becomes device-varying inside the loop
+        # (it depends on axis_index), so the init must be marked varying over
+        # 'dp' too (pvary was deprecated in favor of pcast in jax 0.9).
+        vary = lambda a: lax.pcast(a, axis, to="varying")
+        z = lambda: vary(jnp.zeros((n,), jnp.float32))
         img = Vec3(z(), z(), z())
         alb = Vec3(z(), z(), z())
         nrm = Vec3(z(), z(), z())
-        cache = jax.tree.map(lambda a: lax.pvary(a, axis), cache)
+        cache = jax.tree.map(vary, cache)
         img, alb, nrm, _ = lax.fori_loop(0, per_dev, body, (img, alb, nrm, cache))
         img = jax.tree.map(lambda a: lax.psum(a, axis), img)
         alb = jax.tree.map(lambda a: lax.psum(a, axis), alb)

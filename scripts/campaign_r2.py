@@ -128,7 +128,10 @@ def stage_train(slots, epochs):
             num_epochs=epochs,
             steps_per_epoch=STEPS_PER_EPOCH,
             batch_size=BATCH_SIZE,
-            tile_size=min(256, x.shape[1]),
+            # snap to a power of two <= the image height: the U-Net pools 4x,
+            # so a non-pow2 tile (e.g. 192 from an intermediate-height smoke
+            # dataset) would fail at shape-build time
+            tile_size=1 << min(256, x.shape[1]).bit_length() - 1,
             max_lr=1e-4 if fragile else 3e-4,
             precision="mixed",
             save_epochs=max(epochs // 10, 1),
