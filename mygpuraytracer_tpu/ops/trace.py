@@ -136,8 +136,9 @@ def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int, with_bump: bool 
 
     Returns (t [N], normal Vec3 (unnormalized cross), u, v, geom_id [N],
     bump_extras). Attributes come from a first-match one-hot reduction over
-    each chunk — no gathers anywhere. When ``with_bump`` the winner's world
-    e1/e2 and uv deltas are carried too (TBN inputs, intersections.h:245-279).
+    each chunk — no gathers anywhere. When ``with_bump`` the winner's unit
+    tangent/bitangent are carried too (per-face constants precomputed at
+    load, TBN inputs of intersections.h:245-279).
     """
     F = dev.face_cols[0].shape[0]
     n = o.x.shape[0]
@@ -148,7 +149,7 @@ def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int, with_bump: bool 
     v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = dev.face_cols
     uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = dev.face_uv_cols
 
-    n_extra = 10  # e1(3) + e2(3) + duv1(2) + duv2(2)
+    n_extra = 6  # tangent(3) + bitangent(3)
 
     def body(carry, ci):
         bt, bnx, bny, bnz, bu, bv, bgid, bex = carry
@@ -207,13 +208,7 @@ def mesh_intersect_soa(meta, dev, o: Vec3, d: Vec3, chunk: int, with_bump: bool 
 
         better = tc < bt
         if with_bump:
-            f_uv0u, f_uv0v = sl(uv0u), sl(uv0v)
-            extras_c = [
-                f_e1x, f_e1y, f_e1z, f_e2x, f_e2y, f_e2z,
-                sl(uv1u) - f_uv0u, sl(uv1v) - f_uv0v,
-                sl(uv2u) - f_uv0u, sl(uv2v) - f_uv0v,
-            ]
-            cex = [jnp.sum(oh * e, axis=1) for e in extras_c]
+            cex = [jnp.sum(oh * sl(col), axis=1) for col in dev.face_tb_cols]
             bex = tuple(jnp.where(better, c, b) for c, b in zip(cex, bex))
         return (
             jnp.where(better, tc, bt),
@@ -382,7 +377,8 @@ def mesh_aabb_mask(meta, o: Vec3, d: Vec3) -> jnp.ndarray:
     return mask
 
 
-def mesh_pallas_hit(meta, fp, o: Vec3, d: Vec3, t_cap):
+def mesh_pallas_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
+                    ex=None, with_uv: bool = False, with_tb: bool = False):
     """Wavefront mesh tier: the cluster-BVH Pallas kernel over [N] rays.
 
     Wraps ``mesh_cluster_hit`` in a standalone ``pallas_call`` gridded over
@@ -395,8 +391,13 @@ def mesh_pallas_hit(meta, fp, o: Vec3, d: Vec3, t_cap):
     so mesh clusters occluded by nearer primitives are never visited.
     Replaces the O(rays x faces) chunk stream (pathtrace.cu:331 "todo BVH").
 
+    ``with_uv``/``with_tb`` enable the textured-mesh channels (``ex`` =
+    dev.face_plane_ex): interpolated texcoords and the winner's TBN frame
+    come back as extra [N] outputs so kd/ks/ke/bump texel fetches happen on
+    winners only, outside the kernel (interactions.h:188-239).
+
     Returns (t [N] — inf where no mesh hit beats t_cap, face-normal Vec3
-    (unnormalized), geom id f32 [N]).
+    (unnormalized), geom id f32 [N], extras tuple of [N]).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -406,6 +407,8 @@ def mesh_pallas_hit(meta, fp, o: Vec3, d: Vec3, t_cap):
     tile = SUB * L
     n_pad = ((n + tile - 1) // tile) * tile
     rows = n_pad // L
+    n_extra = (2 if with_uv else 0) + (6 if with_tb else 0)
+    n_out = 5 + n_extra
 
     def to2d(a, fill):
         out = jnp.full((n_pad,), fill, jnp.float32)
@@ -418,28 +421,36 @@ def mesh_pallas_hit(meta, fp, o: Vec3, d: Vec3, t_cap):
         to2d(d.x, 1.0), to2d(d.y, 0.0), to2d(d.z, 0.0),
         to2d(t_cap, 0.0),
     )
+    fps = (fp,) if ex is None else (fp, ex)
 
-    def kernel(fp_ref, ox, oy, oz, dx, dy, dz, tc, t_out, fx, fy, fz, g_out):
+    def kernel(*refs):
+        fp_ref = refs[0]
+        ex_ref = refs[1] if ex is not None else None
+        ox, oy, oz, dx, dy, dz, tc = refs[len(fps) : len(fps) + 7]
+        outs = refs[len(fps) + 7 :]
         ob = Vec3(ox[:, :], oy[:, :], oz[:, :])
         db = Vec3(dx[:, :], dy[:, :], dz[:, :])
-        win, t, fn, gid = mesh_cluster_hit(meta, fp_ref, ob, db, tc[:, :])
-        t_out[:, :] = jnp.where(win, t, jnp.inf)
-        fx[:, :] = fn.x
-        fy[:, :] = fn.y
-        fz[:, :] = fn.z
-        g_out[:, :] = gid
+        win, t, fn, gid, extras = mesh_cluster_hit(
+            meta, fp_ref, ob, db, tc[:, :],
+            ex_ref=ex_ref, with_uv=with_uv, with_tb=with_tb,
+        )
+        for ref, val in zip(
+            outs, (jnp.where(win, t, jnp.inf), fn.x, fn.y, fn.z, gid) + extras
+        ):
+            ref[:, :] = val
 
     spec = pl.BlockSpec((SUB, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [spec] * 7,
-        out_specs=[spec] * 5,
-        out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(fps) + [spec] * 7,
+        out_specs=[spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
         interpret=jax.default_backend() == "cpu",
-    )(fp, *ins)
-    mt, fx, fy, fz, gf = [a.reshape(-1)[:n] for a in outs]
-    return mt, Vec3(fx, fy, fz), gf
+    )(*fps, *ins)
+    flat = [a.reshape(-1)[:n] for a in outs]
+    mt, fx, fy, fz, gf = flat[:5]
+    return mt, Vec3(fx, fy, fz), gf, tuple(flat[5:])
 
 
 def _mesh_sort_key(meta, o: Vec3, d: Vec3) -> jnp.ndarray:
@@ -492,18 +503,16 @@ def intersect_soa(
     # ---- meshes ------------------------------------------------------------
     if meta.has_obj:
         with_bump = any(g.bump > 0 for g in meta.geoms)
-        n_extras = 10 if with_bump else 0
+        n_extras = 6 if with_bump else 0
 
-        # Cluster-BVH Pallas tier (default on TPU): big untextured meshes.
-        # The chunked Moller-Trumbore stream below stays as the oracle and
-        # covers textured/bumped meshes (it carries uv + TBN extras).
+        # Cluster-BVH Pallas tier (default on TPU) for big meshes; textured/
+        # bumped meshes stream the uv/TBN channels through the kernel. The
+        # chunked Moller-Trumbore stream below stays as the oracle.
         if mesh_pallas is None:
             mesh_pallas = jax.default_backend() != "cpu"
         use_pallas = (
             mesh_pallas
             and bool(meta.mesh_clusters)
-            and not with_bump
-            and not meta.has_textures
             and meta.num_faces > 256
         )
         def run_mesh(_):
@@ -514,6 +523,11 @@ def intersect_soa(
         if use_pallas:
             # Per-cluster AABB pruning subsumes the bounding_box pre-test.
             zeros = jnp.zeros(o.x.shape, jnp.float32)
+            pall = lambda ov, dv, tcap: mesh_pallas_hit(
+                meta, dev.face_plane, ov, dv, tcap,
+                ex=dev.face_plane_ex if (meta.has_textures or with_bump) else None,
+                with_uv=meta.has_textures, with_tb=with_bump,
+            )
             if mesh_sort:
                 # Experimental reorder-before-query modes, scatter back:
                 #   "need" / True — stable-partition rays by the 1-bit "can
@@ -531,16 +545,19 @@ def intersect_soa(
                 order = jnp.argsort(key, stable=True)
                 os_ = Vec3(o.x[order], o.y[order], o.z[order])
                 ds_ = Vec3(d.x[order], d.y[order], d.z[order])
-                mt_s, mn_s, mg_s = mesh_pallas_hit(
-                    meta, dev.face_plane, os_, ds_, t_best[order]
-                )
+                mt_s, mn_s, mg_s, ex_s = pall(os_, ds_, t_best[order])
                 unscatter = lambda a: jnp.zeros_like(a).at[order].set(a)
                 mt = unscatter(mt_s)
                 mn = Vec3(unscatter(mn_s.x), unscatter(mn_s.y), unscatter(mn_s.z))
                 mgid = unscatter(mg_s)
+                ex_p = tuple(unscatter(a) for a in ex_s)
             else:
-                mt, mn, mgid = mesh_pallas_hit(meta, dev.face_plane, o, d, t_best)
-            mu, mv, bex = zeros, zeros, ()
+                mt, mn, mgid, ex_p = pall(o, d, t_best)
+            if meta.has_textures:
+                mu, mv = ex_p[0], ex_p[1]
+                bex = ex_p[2:]
+            else:
+                mu, mv, bex = zeros, zeros, ex_p
         elif bounding_box:
             box_mask = mesh_aabb_mask(meta, o, d)
 
@@ -577,24 +594,11 @@ def intersect_soa(
             )
 
         if with_bump:
-            # TBN bump perturbation (intersections.h:245-279) from the
-            # carried winner e1/e2 + uv deltas; e1/e2 are world-space so
-            # tangents need no extra transform.
-            e1 = Vec3(bex[0], bex[1], bex[2])
-            e2 = Vec3(bex[3], bex[4], bex[5])
-            duv1u, duv1v, duv2u, duv2v = bex[6], bex[7], bex[8], bex[9]
-            denom = duv1u * duv2v - duv2u * duv1v
-            f = 1.0 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
-            tangent = v3.normalize(
-                Vec3(f * (duv2v * e1.x - duv1v * e2.x),
-                     f * (duv2v * e1.y - duv1v * e2.y),
-                     f * (duv2v * e1.z - duv1v * e2.z))
-            )
-            bitangent = v3.normalize(
-                Vec3(f * (-duv2u * e1.x + duv1u * e2.x),
-                     f * (-duv2u * e1.y + duv1u * e2.y),
-                     f * (-duv2u * e1.z + duv1u * e2.z))
-            )
+            # TBN bump perturbation (intersections.h:245-279). The winner's
+            # unit tangent/bitangent are per-face constants (precomputed at
+            # load from world e1/e2 + uv deltas) carried by both mesh tiers.
+            tangent = Vec3(bex[0], bex[1], bex[2])
+            bitangent = Vec3(bex[3], bex[4], bex[5])
             texel, present = fetch_texel_soa(dev, bump, uu, vv)
             tsn = v3.normalize(v3.normalize(texel) * 2.0 - 1.0)
             bumped = v3.normalize(
@@ -629,7 +633,8 @@ def intersect_soa(
     )
 
 
-def mesh_cluster_hit(meta, fp_ref, o: Vec3, d: Vec3, t_cap):
+def mesh_cluster_hit(meta, fp_ref, o: Vec3, d: Vec3, t_cap,
+                     ex_ref=None, with_uv: bool = False, with_tb: bool = False):
     """Megakernel BVH tier: nearest mesh face closer than ``t_cap``.
 
     The device face buffer is laid out in CLUSTER_SIZE(=128)-face Morton
@@ -644,10 +649,16 @@ def mesh_cluster_hit(meta, fp_ref, o: Vec3, d: Vec3, t_cap):
     reference's per-ray Moller-Trumbore loop (intersections.h:207-282,
     pathtrace.cu:331 "todo BVH" — the BVH the reference never built).
 
+    Textured meshes (interactions.h:188-239): ``with_uv`` streams the uv
+    interpolation coefficients (``ex_ref`` rows 0-5) alongside and carries
+    the winner's interpolated texcoord; ``with_tb`` streams the per-face
+    unit tangent/bitangent (rows 8-13) for bump TBN. The texel fetches
+    themselves happen OUTSIDE the kernel on the [N] winners only.
+
     Shape-agnostic over the ray block (the megakernel calls it on (8,128)
     sub-blocks for finer cond granularity). Returns (win, t, fn Vec3
-    (unnormalized), geom f32): ``win`` marks lanes whose nearest hit is now a
-    mesh face.
+    (unnormalized), geom f32, extras tuple — (u, v)[, tb6] as enabled):
+    ``win`` marks lanes whose nearest hit is now a mesh face.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -660,18 +671,27 @@ def mesh_cluster_hit(meta, fp_ref, o: Vec3, d: Vec3, t_cap):
     iy = 1.0 / jnp.where(jnp.abs(d.y) < eps, eps, d.y)
     iz = 1.0 / jnp.where(jnp.abs(d.z) < eps, eps, d.z)
 
-    best = (t_cap, zeros, zeros, zeros, zeros - 1.0)  # t, fn xyz, geom(-1)
+    n_extra = (2 if with_uv else 0) + (6 if with_tb else 0)
+    # t, fn xyz, geom(-1), then uv / tangent / bitangent carries
+    best = (t_cap, zeros, zeros, zeros, zeros - 1.0) + (zeros,) * n_extra
 
     def visit_cluster(c, best):
         def body(best):
-            # Two (8,128) quantity blocks (rows: fn xyz, c, U xyz, cu | V
-            # xyz, cv, geom, pad) — rolled whole per step: 2 rolls, and no
-            # single-sublane arrays in the loop carry.
-            blk_a = fp_ref[0:8, c * CS : (c + 1) * CS]
-            blk_b = fp_ref[8:16, c * CS : (c + 1) * CS]
+            # (8,128) quantity blocks (rows: fn xyz, c, U xyz, cu | V xyz,
+            # cv, geom, pad | uv0, duv1, duv2 | tangent, bitangent) — rolled
+            # whole per step, so no single-sublane arrays in the loop carry.
+            sl_c = slice(c * CS, (c + 1) * CS)
+            blks = (fp_ref[0:8, sl_c], fp_ref[8:16, sl_c])
+            if with_uv:
+                blks += (ex_ref[0:8, sl_c],)
+            if with_tb:
+                blks += (ex_ref[8:16, sl_c],)
 
             def step(k, carry):
-                bt, bx, by, bz, bg, a, b = carry
+                bt, bx, by, bz, bg = carry[:5]
+                bex = carry[5 : 5 + n_extra]
+                base = 5 + n_extra  # block positions in the carry
+                a, b = carry[base], carry[base + 1]
                 fnx, fny, fnz = a[0:1], a[1:2], a[2:3]
                 cc, ux, uy, uz, cu = a[3:4], a[4:5], a[5:6], a[6:7], a[7:8]
                 vx, vy, vz, cv, gid = b[0:1], b[1:2], b[2:3], b[3:4], b[4:5]
@@ -694,11 +714,25 @@ def mesh_cluster_hit(meta, fp_ref, o: Vec3, d: Vec3, t_cap):
                 by = jnp.where(ok, fny + zeros, by)
                 bz = jnp.where(ok, fnz + zeros, bz)
                 bg = jnp.where(ok, gid + zeros, bg)
-                return (bt, bx, by, bz, bg,
-                        pltpu.roll(a, 1, 1), pltpu.roll(b, 1, 1))
+                new_ex = []
+                if with_uv:
+                    e = carry[base + 2]
+                    # texcoord = uv0 + u*duv1 + v*duv2 (intersections.h:226)
+                    new_ex += [
+                        e[0:1] + u * e[2:3] + v * e[4:5],
+                        e[1:2] + u * e[3:4] + v * e[5:6],
+                    ]
+                if with_tb:
+                    tb = carry[base + 2 + (1 if with_uv else 0)]
+                    new_ex += [tb[r : r + 1] + zeros for r in range(6)]
+                bex = tuple(
+                    jnp.where(ok, ne + zeros, be) for ne, be in zip(new_ex, bex)
+                )
+                rolled = tuple(pltpu.roll(blk, 1, 1) for blk in carry[base:])
+                return (bt, bx, by, bz, bg) + bex + rolled
 
-            out = lax.fori_loop(0, CS, step, best + (blk_a, blk_b))
-            return out[:5]
+            out = lax.fori_loop(0, CS, step, best + blks)
+            return out[: 5 + n_extra]
 
         bmin, bmax = meta.mesh_clusters[c]
         t1 = (bmin[0] - o.x) * ix
@@ -721,9 +755,9 @@ def mesh_cluster_hit(meta, fp_ref, o: Vec3, d: Vec3, t_cap):
     for c in range(len(meta.mesh_clusters)):
         best = visit_cluster(c, best)
 
-    bt, bx, by, bz, bg = best
+    bt, bx, by, bz, bg = best[:5]
     win = bg >= 0.0
-    return win, bt, Vec3(bx, by, bz), bg
+    return win, bt, Vec3(bx, by, bz), bg, best[5:]
 
 
 def bvh_scene_hit(meta, fp_ref, o: Vec3, d: Vec3) -> HitSoA:
@@ -735,7 +769,7 @@ def bvh_scene_hit(meta, fp_ref, o: Vec3, d: Vec3) -> HitSoA:
     (t_best, normal, is_obj, col, spec, spec_ex, refl, refr, ior, emit,
      mat_id, uu, vv, kd, ks, ke, bump, set_mat) = intersect_primitives_soa(meta, o, d)
 
-    win, mt, fn, gf = mesh_cluster_hit(meta, fp_ref, o, d, t_best)
+    win, mt, fn, gf, _ = mesh_cluster_hit(meta, fp_ref, o, d, t_best)
     t_best = jnp.where(win, mt, t_best)
     normal = v3.where(win, v3.normalize(fn), normal)
     is_obj = is_obj | win

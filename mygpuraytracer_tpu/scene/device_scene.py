@@ -72,6 +72,10 @@ class DeviceScene(NamedTuple):
     # slice-by-column is a strided load on TPU; flat [F] columns stream clean.
     face_cols: tuple  # 9x f32[F]: v0x v0y v0z e1x e1y e1z e2x e2y e2z
     face_uv_cols: tuple  # 6x f32[F]: uv0u uv0v uv1u uv1v uv2u uv2v
+    # Per-face unit TBN tangent/bitangent (world space, from e1/e2 + uv
+    # deltas, intersections.h:245-279). Constant per face, so the winner's
+    # frame is a one-hot select — no per-ray recomputation.
+    face_tb_cols: tuple  # 6x f32[F]: tx ty tz bx by bz
     # Plane-form triangle constants for the megakernel BVH tier,
     # quantity-major so cluster c of quantity q is the clean 128-aligned
     # lane slice [q, c*128:(c+1)*128]. Rows: fn(3), c=fn.v0, U(3), cu=U.v0,
@@ -79,6 +83,12 @@ class DeviceScene(NamedTuple):
     # in the triangle plane: the barycentric test is u = (x-v0).U,
     # v = (x-v0).V with x the ray/plane intersection.
     face_plane: jnp.ndarray  # f32[16, Fp], Fp = F padded to CLUSTER_SIZE
+    # Texture extension of face_plane for the textured/bumped cluster tier
+    # (same cluster-major lane layout). Rows 0-5: uv0u uv0v d1u d1v d2u d2v
+    # (texcoord = uv0 + u*d1 + v*d2 at barycentric (u,v)); rows 8-13: unit
+    # tangent/bitangent xyz. [16, 1] placeholder when the scene is untextured
+    # so the plain kernel's operands stay unchanged.
+    face_plane_ex: jnp.ndarray  # f32[16, Fp] (or [16, 1])
 
     # Materials [M]
     mat_color: jnp.ndarray  # f32[M,3]
@@ -344,6 +354,36 @@ def build_device_scene(
         # plane unreachable anyway
         face_plane[3, num_faces:] = 1e30
 
+    # Texture-tier extension: uv interpolation coefficients + the per-face
+    # unit TBN frame (interactions.h:188-239 texel fetch at the winner's uv;
+    # intersections.h:245-279 bump TBN). Built only for textured scenes.
+    has_textures = bool(
+        (geom_kd > 0).any() or (geom_ks > 0).any()
+        or (geom_ke > 0).any() or (geom_bump > 0).any()
+    )
+    face_tb = np.zeros((num_faces, 6), np.float32)
+    face_plane_ex = np.zeros((16, 1), np.float32)
+    if num_faces and has_textures:
+        fuv0 = uv0s[0].astype(np.float64)
+        duv1 = uv1s[0].astype(np.float64) - fuv0
+        duv2 = uv2s[0].astype(np.float64) - fuv0
+        den = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+        f = 1.0 / np.where(np.abs(den) < 1e-20, 1e-20, den)
+        T = f[:, None] * (duv2[:, 1:2] * fe1 - duv1[:, 1:2] * fe2)
+        B = f[:, None] * (-duv2[:, 0:1] * fe1 + duv1[:, 0:1] * fe2)
+
+        def unit(a):
+            n = np.linalg.norm(a, axis=1, keepdims=True)
+            return a / np.where(n < 1e-20, 1.0, n)
+
+        face_tb[:num_faces, 0:3] = unit(T)
+        face_tb[:num_faces, 3:6] = unit(B)
+        face_plane_ex = np.zeros((16, Fp), np.float32)
+        face_plane_ex[0:2, :num_faces] = fuv0.T
+        face_plane_ex[2:4, :num_faces] = duv1.T
+        face_plane_ex[4:6, :num_faces] = duv2.T
+        face_plane_ex[8:14, :num_faces] = face_tb[:num_faces].T
+
     F = _pad_to(max(num_faces, 1), face_chunk)
     face_v0 = np.zeros((F, 3), np.float32)
     face_e1 = np.zeros((F, 3), np.float32)
@@ -352,6 +392,8 @@ def build_device_scene(
     face_uv1 = np.zeros((F, 2), np.float32)
     face_uv2 = np.zeros((F, 2), np.float32)
     face_geom = np.zeros(F, np.int32)
+    face_tb_pad = np.zeros((F, 6), np.float32)
+    face_tb_pad[:num_faces] = face_tb
     if num_faces:
         face_v0[:num_faces] = np.concatenate(v0s)
         face_e1[:num_faces] = np.concatenate(e1s)
@@ -409,7 +451,11 @@ def build_device_scene(
             for arr in (face_uv0, face_uv1, face_uv2)
             for col in (arr[:, 0], arr[:, 1])
         ),
+        face_tb_cols=tuple(
+            jnp.asarray(np.ascontiguousarray(face_tb_pad[:, i])) for i in range(6)
+        ),
         face_plane=jnp.asarray(face_plane),
+        face_plane_ex=jnp.asarray(face_plane_ex),
         mat_color=jnp.asarray(mat_color),
         mat_spec_color=jnp.asarray(mat_spec_color),
         mat_spec_ex=jnp.asarray(mat_spec_ex),
@@ -486,10 +532,7 @@ def build_device_scene(
         num_geoms=G,
         num_faces=num_faces,
         has_obj=any(g.type == GeomType.OBJ for g in geoms),
-        has_textures=bool(
-            (geom_kd > 0).any() or (geom_ks > 0).any()
-            or (geom_ke > 0).any() or (geom_bump > 0).any()
-        ),
+        has_textures=has_textures,
         face_ranges=tuple(face_ranges),
         geoms=tuple(geom_statics),
         mega_faces=mega_faces,

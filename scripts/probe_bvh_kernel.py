@@ -59,7 +59,7 @@ def k_mch(meta):
         o = Vec3(ox[:, :], oy[:, :], oz[:, :])
         d = Vec3(dx[:, :], dy[:, :], dz[:, :])
         t_cap = jnp.full(o.x.shape, 100.0, jnp.float32)
-        win, t, fn, g = mesh_cluster_hit(meta, fp, o, d, t_cap)
+        win, t, fn, g, _ = mesh_cluster_hit(meta, fp, o, d, t_cap)
         out[:, :] = jnp.where(win, t, -1.0) + fn.x * 1e-6 + g * 1e-9
 
     return kernel

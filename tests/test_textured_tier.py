@@ -1,0 +1,156 @@
+"""Textured/bumped cluster-BVH Pallas tier parity.
+
+The wavefront Pallas mesh tier must agree with the chunked Moller-Trumbore
+oracle on a >256-face mesh carrying kd/ks/ke/bump textures — including the
+interpolated texcoords and the TBN-perturbed normals that the kernel now
+streams through its extension blocks (reference texel path:
+apps/src/interactions.h:188-239, TBN: intersections.h:245-279).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mygpuraytracer_tpu.ops.trace import intersect_soa
+from mygpuraytracer_tpu.ops.vec3 import from_array
+from mygpuraytracer_tpu.scene.structs import (
+    Camera,
+    FaceArray,
+    Geom,
+    GeomType,
+    Material,
+    Scene,
+    Texture,
+)
+from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+
+
+def _tex(rng, w=16, h=16, blue=False):
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    if blue:
+        img[..., 2] = 255  # mostly +n normals in tangent space
+    return Texture(width=w, height=h, channels=3, image=img)
+
+
+def _wavy_mesh_scene(grid=18, with_bump=True):
+    """A wavy grid mesh (2*grid^2 > 256 faces) with textures, plus an
+    emissive sphere and a cube wall behind the mesh (t_cap pruning)."""
+    rng = np.random.default_rng(5)
+    xs = np.linspace(-2.5, 2.5, grid + 1)
+    zs = np.linspace(-2.5, 2.5, grid + 1)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    Y = 0.6 * np.sin(X * 2.1) * np.cos(Z * 1.7)
+    P = np.stack([X, Y, Z], axis=-1).astype(np.float32)  # [g+1,g+1,3]
+    U = np.stack([(X + 2.5) / 5.0, (Z + 2.5) / 5.0], axis=-1).astype(np.float32)
+
+    pos, uv = [], []
+    for i in range(grid):
+        for j in range(grid):
+            a, b, c, d = P[i, j], P[i + 1, j], P[i + 1, j + 1], P[i, j + 1]
+            ua, ub, uc, ud = U[i, j], U[i + 1, j], U[i + 1, j + 1], U[i, j + 1]
+            pos += [[a, b, c], [a, c, d]]
+            uv += [[ua, ub, uc], [ua, uc, ud]]
+    faces = FaceArray(
+        positions=np.asarray(pos, np.float32), uvs=np.asarray(uv, np.float32)
+    )
+    assert len(faces.positions) > 256
+
+    g = Geom(type=GeomType.OBJ, materialid=0)
+    g.finalize_transform()
+    g.face_count = len(faces.positions)
+    g.kd = _tex(rng)
+    g.ks = _tex(rng)
+    g.ke = _tex(rng)
+    if with_bump:
+        g.bump = _tex(rng, blue=True)
+
+    wall = Geom(type=GeomType.CUBE, materialid=1)
+    wall.translation = np.array([0.0, 0.0, -4.0], np.float32)
+    wall.scale = np.array([10.0, 10.0, 0.2], np.float32)
+    wall.finalize_transform()
+    light = Geom(type=GeomType.SPHERE, materialid=2)
+    light.translation = np.array([0.0, 4.0, 0.0], np.float32)
+    light.finalize_transform()
+
+    s = Scene()
+    s.geoms = [g, wall, light]
+    s.materials = [
+        Material(color=np.array([0.6, 0.6, 0.6], np.float32)),
+        Material(color=np.array([0.3, 0.4, 0.5], np.float32)),
+        Material(color=np.array([1, 1, 1], np.float32), emittance=5.0),
+    ]
+    s.all_faces = [faces, [], []]
+    s.state.camera = Camera(resolution=(8, 8))
+    s.state.camera.derive_fov(45.0)
+    s.state.trace_depth = 4
+    s.state.iterations = 1
+    return s
+
+
+def _rays(n, seed=9):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    o[:, 1] += 3.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    # aim half the rays at the mesh so plenty of textured lanes hit
+    aim = np.array([0.0, 0.0, 0.0]) - o[: n // 2]
+    d[: n // 2] = aim + 0.25 * rng.normal(size=(n // 2, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (
+        from_array(jnp.asarray(o)),
+        from_array(jnp.asarray(d)),
+    )
+
+
+@pytest.mark.parametrize("with_bump", [False, True])
+def test_textured_pallas_tier_matches_chunked(with_bump):
+    dev, meta = build_device_scene(_wavy_mesh_scene(with_bump=with_bump), 128)
+    assert meta.mesh_clusters and meta.has_textures
+    o, d = _rays(8 * 128 + 61)  # one grid tile + ragged tail
+
+    fast = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True)
+    ref = intersect_soa(meta, dev, o, d, 128, mesh_pallas=False)
+
+    t_f = np.where(np.asarray(fast.hit), np.asarray(fast.t), -1.0)
+    t_r = np.where(np.asarray(ref.hit), np.asarray(ref.t), -1.0)
+    close = np.isclose(t_f, t_r, rtol=2e-3, atol=2e-3)
+    assert close.mean() > 0.995, f"t mismatch on {(~close).sum()} lanes"
+
+    m = close & (t_f > 0) & np.asarray(ref.is_obj) & np.asarray(fast.is_obj)
+    assert m.sum() > 200  # plenty of textured mesh hits compared
+    # interpolated texcoords agree
+    for a, b in ((fast.u, ref.u), (fast.v, ref.v)):
+        assert np.isclose(
+            np.asarray(a)[m], np.asarray(b)[m], rtol=2e-3, atol=2e-3
+        ).mean() > 0.99
+    # texture slots resolve identically
+    for a, b in ((fast.kd, ref.kd), (fast.ks, ref.ks), (fast.ke, ref.ke)):
+        assert (np.asarray(a)[m] == np.asarray(b)[m]).all()
+    # normals (bump-perturbed when with_bump) agree
+    for a, b in (
+        (fast.normal.x, ref.normal.x),
+        (fast.normal.y, ref.normal.y),
+        (fast.normal.z, ref.normal.z),
+    ):
+        assert np.isclose(
+            np.asarray(a)[m], np.asarray(b)[m], rtol=1e-2, atol=1e-2
+        ).mean() > 0.98
+    if with_bump:
+        assert meta.geoms[0].bump > 0  # the TBN path was actually exercised
+
+
+def test_textured_tier_sort_modes_identical():
+    """Reorder-before-query must scatter texcoords/TBN back to lane order."""
+    dev, meta = build_device_scene(_wavy_mesh_scene(with_bump=True), 128)
+    o, d = _rays(8 * 128, seed=13)
+    base = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True)
+    for mode in ("need", "coherence"):
+        srt = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True, mesh_sort=mode)
+        np.testing.assert_array_equal(np.asarray(srt.hit), np.asarray(base.hit))
+        hit = np.asarray(base.hit)
+        for a, b in ((srt.t, base.t), (srt.u, base.u), (srt.v, base.v),
+                     (srt.normal.x, base.normal.x)):
+            np.testing.assert_allclose(
+                np.asarray(a)[hit], np.asarray(b)[hit], rtol=1e-5, atol=1e-5
+            )
