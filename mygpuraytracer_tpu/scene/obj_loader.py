@@ -68,14 +68,24 @@ def parse_mtl(path: str) -> list[MtlMaterial]:
             elif key == "Ns":
                 cur.shininess = float(tokens[1])
             elif key == "map_Kd":
-                cur.diffuse_texname = tokens[-1]
+                cur.diffuse_texname = _texname(tokens)
             elif key == "map_Ks":
-                cur.specular_texname = tokens[-1]
+                cur.specular_texname = _texname(tokens)
             elif key == "map_Ke":
-                cur.emissive_texname = tokens[-1]
+                cur.emissive_texname = _texname(tokens)
             elif key in ("map_bump", "map_Bump", "bump"):
-                cur.bump_texname = tokens[-1]
+                cur.bump_texname = _texname(tokens)
     return mats
+
+
+def _texname(tokens: list[str]) -> str:
+    """Texture map name = the whole rest of the line (names may contain
+    spaces, e.g. the reference's 'Intergalactic Spaceship_color_4.jpg'),
+    with Windows backslash separators normalized (the reference .mtl files
+    are Blender-on-Windows exports using literal '..\\\\textures\\\\...')."""
+    import re
+
+    return re.sub("/+", "/", " ".join(tokens[1:]).replace("\\", "/"))
 
 
 def _resolve_index(idx: int, count: int) -> int:
@@ -198,13 +208,26 @@ def load_obj(path: str, mtl_search_path: str | None = None) -> ObjModel:
 
     material = MtlMaterial()
     for mtl_name in _scan_mtllibs(path):
-        for d in search_dirs:
-            cand = os.path.join(d, os.path.basename(mtl_name))
+        cands = [mtl_name] + [
+            os.path.join(d, os.path.basename(mtl_name)) for d in search_dirs
+        ]
+        for cand in cands:
             if os.path.isfile(cand):
                 mats = parse_mtl(cand)
                 if mats:
                     # Reference uses objMaterials[0] only (scene.cpp:68,134).
                     material = mats[0]
+                # texture names resolve relative to the .mtl's own directory
+                # (tinyobj mtl_basedir semantics) — needed when the mtllib
+                # lives outside the OBJ's tree (e.g. the reference checkout)
+                mtl_dir = os.path.dirname(os.path.abspath(cand))
+                search_dirs[:0] = [
+                    mtl_dir,
+                    os.path.normpath(os.path.join(mtl_dir, os.pardir)),
+                    os.path.normpath(
+                        os.path.join(mtl_dir, os.pardir, os.pardir, "textures")
+                    ),
+                ]
                 break
         else:
             continue

@@ -52,6 +52,12 @@ def main():
          RenderOptions(depth_of_field=True, focal_distance=11.0)),
         ("shipOnly_32_4spp", "scenes/shipOnly.txt", (32, 32), 4,
          RenderOptions()),
+        # round 3: the textured/bumped 23k-face tier and the reference's
+        # real cottage asset end-to-end
+        ("shipTexOnly_32_4spp", "scenes/shipTexOnly.txt", (32, 32), 4,
+         RenderOptions()),
+        ("cornellCottage_32_4spp", "scenes/cornellCottage.txt", (32, 32), 4,
+         RenderOptions()),
     ]
     for name, path, res, spp, opts in specs:
         s = load_scene(path) if path else cornell_box()

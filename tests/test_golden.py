@@ -46,6 +46,13 @@ CASES = [
      RenderOptions(depth_of_field=True, focal_distance=11.0)),
     ("shipOnly_32_4spp", lambda: _load(str(REPO / "scenes/shipOnly.txt")), 4,
      RenderOptions()),
+    # round 3: textured+bumped cluster-tier mesh, and the reference's real
+    # cottage asset end-to-end (parse -> atlas -> render)
+    ("shipTexOnly_32_4spp", lambda: _load(str(REPO / "scenes/shipTexOnly.txt")),
+     4, RenderOptions()),
+    ("cornellCottage_32_4spp",
+     lambda: _load(str(REPO / "scenes/cornellCottage.txt")), 4,
+     RenderOptions()),
 ]
 
 
