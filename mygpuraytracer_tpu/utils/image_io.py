@@ -106,6 +106,10 @@ def load_image(path: str) -> np.ndarray:
         img = np.load(path).astype(np.float32)
     elif ext in (".png", ".jpg", ".jpeg", ".ppm"):
         img = read_png(path).astype(np.float32) / 255.0
+    elif ext in (".exr", ".cxr"):
+        from .exr import read_exr
+
+        img = read_exr(path)
     else:
         raise ValueError(f"unsupported image format: {ext}")
     if img.ndim == 2:
@@ -123,6 +127,10 @@ def save_image(path: str, img: np.ndarray) -> None:
         np.save(path, np.asarray(img, np.float32))
     elif ext == ".png":
         write_png(path, img)
+    elif ext == ".exr":
+        from .exr import write_exr
+
+        write_exr(path, np.asarray(img, np.float32))
     else:
         raise ValueError(f"unsupported image format: {ext}")
 
