@@ -4,7 +4,8 @@ Flag surface mirrors the reference (oidnDenoise.cpp:24-37):
     --hdr / --ldr / --srgb / --dir, --alb FILE, --nrm FILE, --clean_aux,
     --is SCALE, -w WEIGHTS.tza, --maxmem MB, --bench N, -r REF [-o OUT],
     --threads / --affinity (accepted, no-ops on TPU), -v VERBOSE.
-Reference compare uses the reference thresholds: 1e-4 (f32) via --threshold.
+Reference compare uses the reference thresholds (oidnDenoise.cpp:362):
+1e-4 (f32) by default, 1e-2 when --half processes images as Half3.
 """
 
 from __future__ import annotations
@@ -40,7 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--maxmem", type=int, default=3000)
     p.add_argument("-o", "--output", metavar="FILE")
     p.add_argument("-r", "--ref", metavar="FILE", help="reference output to compare")
-    p.add_argument("--threshold", type=float, default=1e-4)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="max relative error vs --ref (default 1e-4, 1e-2 with --half)")
+    p.add_argument("--half", action="store_true",
+                   help="feed the filter Half3 (float16) images")
     p.add_argument("--bench", type=int, default=0, metavar="N")
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--affinity", type=int, default=1)
@@ -66,7 +70,8 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     f = device.new_filter(args.filter)
 
-    color = load_image(color_path) if color_path else None
+    as_dtype = (lambda a: a.astype(np.float16)) if args.half else (lambda a: a)
+    color = as_dtype(load_image(color_path)) if color_path else None
     shape = None
     if color is not None:
         f.set_image("color", color)
@@ -83,13 +88,13 @@ def main(argv=None) -> int:
         return out
 
     if args.alb:
-        alb = load_image(args.alb)
+        alb = as_dtype(load_image(args.alb))
         if args.prefilter_aux:
             alb = prefilter(alb, "albedo")
         f.set_image("albedo", alb)
         shape = shape or alb.shape
     if args.nrm:
-        nrm = load_image(args.nrm)
+        nrm = as_dtype(load_image(args.nrm))
         if args.prefilter_aux:
             nrm = prefilter(nrm, "normal")
         f.set_image("normal", nrm)
@@ -98,7 +103,7 @@ def main(argv=None) -> int:
         print("error: no input image", file=sys.stderr)
         return 1
 
-    output = np.zeros(shape, np.float32)
+    output = np.zeros(shape, np.float16 if args.half else np.float32)
     f.set_image("output", output)
     if args.filter == "RT":
         f.set("hdr", hdr)
@@ -142,7 +147,11 @@ def main(argv=None) -> int:
 
     if args.ref:
         ref = load_image(args.ref)
-        n_err, max_err = compare_images(output, ref, args.threshold)
+        threshold = args.threshold
+        if threshold is None:
+            threshold = 1e-2 if args.half else 1e-4
+        n_err, max_err = compare_images(
+            np.asarray(output, np.float32), ref, threshold)
         print(f"  compare: {n_err} pixels differ, max rel error {max_err:.3e}")
         if n_err:
             if args.output:

@@ -117,8 +117,44 @@ def _check_image(name: str, img: np.ndarray | None):
         return
     if img.ndim != 3 or img.shape[2] != 3:
         raise OidnError(OidnError.INVALID_ARGUMENT, f"image '{name}' must be HxWx3")
+    if img.dtype not in (np.float32, np.float16):
+        raise OidnError(
+            OidnError.INVALID_ARGUMENT,
+            f"image '{name}' must be float32 (Float3) or float16 (Half3)",
+        )
     if img.shape[0] > MAX_IMAGE_DIM or img.shape[1] > MAX_IMAGE_DIM:
         raise OidnError(OidnError.INVALID_ARGUMENT, "image size too large")
+
+
+def _strided_view(buffer: np.ndarray, width: int, height: int,
+                  byte_offset: int, pixel_byte_stride: int,
+                  row_byte_stride: int) -> np.ndarray:
+    """oidnSetFilterImage's (buffer, byteOffset, pixelByteStride,
+    rowByteStride) surface (core/image.h:12-66): view an arbitrary
+    float16/float32 buffer as HxWx3 without copying. Stride 0 means
+    tightly packed. The view is writable, so it also serves as a strided
+    OUTPUT image."""
+    buffer = np.ascontiguousarray(buffer) if not buffer.flags.c_contiguous else buffer
+    itemsize = buffer.dtype.itemsize
+    if itemsize not in (2, 4):
+        raise OidnError(OidnError.INVALID_ARGUMENT, "buffer must be f16/f32")
+    pixel = pixel_byte_stride or 3 * itemsize
+    row = row_byte_stride or width * pixel
+    for s, nm in ((pixel, "pixelByteStride"), (row, "rowByteStride"),
+                  (byte_offset, "byteOffset")):
+        if s % itemsize:
+            raise OidnError(
+                OidnError.INVALID_ARGUMENT, f"{nm} not a multiple of the format size"
+            )
+    end = byte_offset + (height - 1) * row + (width - 1) * pixel + 3 * itemsize
+    if height > 0 and width > 0 and end > buffer.nbytes:
+        raise OidnError(OidnError.INVALID_ARGUMENT, "image exceeds buffer bounds")
+    flat = buffer.reshape(-1)
+    return np.lib.stride_tricks.as_strided(
+        flat[byte_offset // itemsize :],
+        shape=(height, width, 3),
+        strides=(row, pixel, itemsize),
+    )
 
 
 class Filter:
@@ -149,12 +185,25 @@ class Filter:
         self._jitted = {}
 
     # -- parameter surface (oidn.hpp FilterRef) -------------------------------
-    def set_image(self, name: str, image: np.ndarray | None, width=None, height=None):
+    def set_image(self, name: str, image: np.ndarray | None, width=None,
+                  height=None, byte_offset: int = 0, pixel_byte_stride: int = 0,
+                  row_byte_stride: int = 0):
+        """Attach an image. ``image`` may be an HxWx3 float32 (Float3) or
+        float16 (Half3) array, or — with ``width``/``height`` given — any
+        f16/f32 buffer viewed through oidn.h's byteOffset/pixelByteStride/
+        rowByteStride window (core/image.h:12-66). Views alias the caller's
+        buffer, so a strided 'output' writes back in place."""
         if name not in self._image_slots:
             self.device._warn(f"unknown filter image '{name}'")
             return
         if image is not None:
             image = np.asarray(image)
+            if width is not None and height is not None and (
+                byte_offset or pixel_byte_stride or row_byte_stride
+                or image.ndim != 3 or image.shape[:2] != (height, width)
+            ):
+                image = _strided_view(image, width, height, byte_offset,
+                                      pixel_byte_stride, row_byte_stride)
             _check_image(name, image)
         self.images[name] = image
         self.dirty = True
@@ -320,7 +369,9 @@ class Filter:
         scale = self.params["inputScale"]
         if isinstance(scale, float) and math.isnan(scale):
             if self.params["hdr"] and self.images["color"] is not None:
-                scale = float(color_mod.autoexposure(jnp.asarray(self.images["color"])))
+                scale = float(color_mod.autoexposure(jnp.asarray(
+                    np.ascontiguousarray(self.images["color"], dtype=np.float32)
+                )))
             else:
                 scale = 1.0
         transfer = color_mod.make_transfer(self._transfer_kind(), float(scale))

@@ -488,6 +488,7 @@ def _mesh_sort_key(meta, o: Vec3, d: Vec3) -> jnp.ndarray:
 def intersect_soa(
     meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128, bounding_box: bool = False,
     mesh_pallas: bool | None = None, mesh_sort: bool | str = False,
+    mesh_tier: str = "lists",
 ) -> HitSoA:
     """Nearest hit over the whole scene with materials resolved in-loop.
 
@@ -523,7 +524,11 @@ def intersect_soa(
         if use_pallas:
             # Per-cluster AABB pruning subsumes the bounding_box pre-test.
             zeros = jnp.zeros(o.x.shape, jnp.float32)
-            pall = lambda ov, dv, tcap: mesh_pallas_hit(
+            # "lists" (default): visit-list kernel — cluster selection in a
+            # vectorized XLA pre-pass, branch-free kernel loop. "conds":
+            # the round-2 in-kernel slab+cond walk (kept for A/B).
+            tier_fn = mesh_list_hit if mesh_tier == "lists" else mesh_pallas_hit
+            pall = lambda ov, dv, tcap: tier_fn(
                 meta, dev.face_plane, ov, dv, tcap,
                 ex=dev.face_plane_ex if (meta.has_textures or with_bump) else None,
                 with_uv=meta.has_textures, with_tb=with_bump,
@@ -686,53 +691,7 @@ def mesh_cluster_hit(meta, fp_ref, o: Vec3, d: Vec3, t_cap,
                 blks += (ex_ref[0:8, sl_c],)
             if with_tb:
                 blks += (ex_ref[8:16, sl_c],)
-
-            def step(k, carry):
-                bt, bx, by, bz, bg = carry[:5]
-                bex = carry[5 : 5 + n_extra]
-                base = 5 + n_extra  # block positions in the carry
-                a, b = carry[base], carry[base + 1]
-                fnx, fny, fnz = a[0:1], a[1:2], a[2:3]
-                cc, ux, uy, uz, cu = a[3:4], a[4:5], a[5:6], a[6:7], a[7:8]
-                vx, vy, vz, cv, gid = b[0:1], b[1:2], b[2:3], b[3:4], b[4:5]
-                A = o.x * fnx + o.y * fny + o.z * fnz
-                B = d.x * fnx + d.y * fny + d.z * fnz
-                B = jnp.where(jnp.abs(B) < eps, eps, B)
-                t = (cc - A) / B
-                du = d.x * ux + d.y * uy + d.z * uz
-                ou = o.x * ux + o.y * uy + o.z * uz
-                u = ou + t * du - cu
-                dv = d.x * vx + d.y * vy + d.z * vz
-                ov = o.x * vx + o.y * vy + o.z * vz
-                v = ov + t * dv - cv
-                ok = (
-                    (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > HIT_EPS) & (t < bt)
-                )
-                bt = jnp.where(ok, t, bt)
-                bx = jnp.where(ok, fnx + zeros, bx)
-                by = jnp.where(ok, fny + zeros, by)
-                bz = jnp.where(ok, fnz + zeros, bz)
-                bg = jnp.where(ok, gid + zeros, bg)
-                new_ex = []
-                if with_uv:
-                    e = carry[base + 2]
-                    # texcoord = uv0 + u*duv1 + v*duv2 (intersections.h:226)
-                    new_ex += [
-                        e[0:1] + u * e[2:3] + v * e[4:5],
-                        e[1:2] + u * e[3:4] + v * e[5:6],
-                    ]
-                if with_tb:
-                    tb = carry[base + 2 + (1 if with_uv else 0)]
-                    new_ex += [tb[r : r + 1] + zeros for r in range(6)]
-                bex = tuple(
-                    jnp.where(ok, ne + zeros, be) for ne, be in zip(new_ex, bex)
-                )
-                rolled = tuple(pltpu.roll(blk, 1, 1) for blk in carry[base:])
-                return (bt, bx, by, bz, bg) + bex + rolled
-
-            out = lax.fori_loop(0, CS, step, best + blks)
-            return out[: 5 + n_extra]
+            return _stream_cluster_faces(blks, o, d, best, CS, with_uv, with_tb)
 
         bmin, bmax = meta.mesh_clusters[c]
         t1 = (bmin[0] - o.x) * ix
@@ -758,6 +717,196 @@ def mesh_cluster_hit(meta, fp_ref, o: Vec3, d: Vec3, t_cap,
     bt, bx, by, bz, bg = best[:5]
     win = bg >= 0.0
     return win, bt, Vec3(bx, by, bz), bg, best[5:]
+
+
+def _stream_cluster_faces(blks, o: Vec3, d: Vec3, best, CS: int,
+                          with_uv: bool, with_tb: bool):
+    """Roll-stream one cluster's faces against the ray block.
+
+    ``blks`` are the cluster's (8,128) quantity blocks (plane form + optional
+    uv/TBN extension); ``best`` is the (t, fn xyz, geom[, extras...]) carry.
+    Ray lane j tests face (j+k)%CS at step k — CS steps cover all pairs with
+    no gathers/transposes (the core of the BVH the reference never built,
+    pathtrace.cu:331)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    zeros = jnp.zeros(o.x.shape, jnp.float32)
+    eps = 1e-20
+    n_extra = (2 if with_uv else 0) + (6 if with_tb else 0)
+
+    def step(k, carry):
+        bt, bx, by, bz, bg = carry[:5]
+        bex = carry[5 : 5 + n_extra]
+        base = 5 + n_extra  # block positions in the carry
+        a, b = carry[base], carry[base + 1]
+        fnx, fny, fnz = a[0:1], a[1:2], a[2:3]
+        cc, ux, uy, uz, cu = a[3:4], a[4:5], a[5:6], a[6:7], a[7:8]
+        vx, vy, vz, cv, gid = b[0:1], b[1:2], b[2:3], b[3:4], b[4:5]
+        A = o.x * fnx + o.y * fny + o.z * fnz
+        B = d.x * fnx + d.y * fny + d.z * fnz
+        B = jnp.where(jnp.abs(B) < eps, eps, B)
+        t = (cc - A) / B
+        du = d.x * ux + d.y * uy + d.z * uz
+        ou = o.x * ux + o.y * uy + o.z * uz
+        u = ou + t * du - cu
+        dv = d.x * vx + d.y * vy + d.z * vz
+        ov = o.x * vx + o.y * vy + o.z * vz
+        v = ov + t * dv - cv
+        ok = (
+            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > HIT_EPS) & (t < bt)
+        )
+        bt = jnp.where(ok, t, bt)
+        bx = jnp.where(ok, fnx + zeros, bx)
+        by = jnp.where(ok, fny + zeros, by)
+        bz = jnp.where(ok, fnz + zeros, bz)
+        bg = jnp.where(ok, gid + zeros, bg)
+        new_ex = []
+        if with_uv:
+            e = carry[base + 2]
+            # texcoord = uv0 + u*duv1 + v*duv2 (intersections.h:226)
+            new_ex += [
+                e[0:1] + u * e[2:3] + v * e[4:5],
+                e[1:2] + u * e[3:4] + v * e[5:6],
+            ]
+        if with_tb:
+            tb = carry[base + 2 + (1 if with_uv else 0)]
+            new_ex += [tb[r : r + 1] + zeros for r in range(6)]
+        bex = tuple(
+            jnp.where(ok, ne + zeros, be) for ne, be in zip(new_ex, bex)
+        )
+        rolled = tuple(pltpu.roll(blk, 1, 1) for blk in carry[base:])
+        return (bt, bx, by, bz, bg) + bex + rolled
+
+    out = lax.fori_loop(0, CS, step, tuple(best) + tuple(blks))
+    return out[: 5 + n_extra]
+
+
+def _cluster_visit_lists(meta, o: Vec3, d: Vec3, t_cap, tile: int):
+    """Branchless XLA pre-pass: per ray block, the list of clusters any of
+    its rays can reach closer than its current best hit.
+
+    Measured on v5e (scripts/probe_shift_kernel.py): evaluating the slab
+    test + lax.cond INSIDE the kernel costs ~3us per (cluster, block) — 88%
+    of the whole mesh tier — while the vectorized mask here is a single
+    fused elementwise pass. The kernel then loops over exactly the listed
+    clusters (dynamic trip count, no branches).
+
+    Returns (lists i32[B, C] — visited clusters first, ascending, then the
+    rest; counts i32[B, 1]).
+    """
+    C = len(meta.mesh_clusters)
+    cmin = jnp.asarray([c[0] for c in meta.mesh_clusters], jnp.float32)  # [C,3]
+    cmax = jnp.asarray([c[1] for c in meta.mesh_clusters], jnp.float32)
+    eps = 1e-20
+
+    def axis(i, oa, da):
+        inv = 1.0 / jnp.where(jnp.abs(da) < eps, eps, da)
+        t1 = (cmin[:, i][None, :] - oa[:, None]) * inv[:, None]
+        t2 = (cmax[:, i][None, :] - oa[:, None]) * inv[:, None]
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    ax, bx = axis(0, o.x, d.x)
+    ay, by = axis(1, o.y, d.y)
+    az, bz = axis(2, o.z, d.z)
+    tin = jnp.maximum(jnp.maximum(ax, ay), az)
+    tout = jnp.minimum(jnp.minimum(bx, by), bz)
+    m = (tout >= jnp.maximum(tin, 0.0)) & (tin < t_cap[:, None])  # [N, C]
+    mb = m.reshape(-1, tile, C).any(axis=1)  # [B, C]
+    counts = mb.sum(axis=1, dtype=jnp.int32)[:, None]  # [B, 1]
+    lists = jnp.argsort(~mb, axis=1, stable=True).astype(jnp.int32)  # [B, C]
+    return lists, counts
+
+
+def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
+                  ex=None, with_uv: bool = False, with_tb: bool = False):
+    """Visit-list mesh tier: the round-3 replacement for mesh_pallas_hit.
+
+    Same face streaming and results as the cluster-BVH kernel, but cluster
+    selection moves OUT of the kernel into a vectorized XLA pre-pass
+    (_cluster_visit_lists); the kernel runs a dynamic-trip-count loop over
+    each (8,128) ray block's own cluster list, dynamically slicing the face
+    buffer at c*CS. Removes the ~3us-per-(cluster, block) cond machinery
+    that dominated the old kernel (88% of its runtime on the 23k-face ship).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = o.x.shape[0]
+    SUB, L = 8, 128
+    tile = SUB * L
+    n_pad = ((n + tile - 1) // tile) * tile
+    rows = n_pad // L
+    CS = meta.cluster_size
+    C = len(meta.mesh_clusters)
+    n_extra = (2 if with_uv else 0) + (6 if with_tb else 0)
+    n_out = 5 + n_extra
+
+    def pad1d(a, fill):
+        return jnp.full((n_pad,), fill, jnp.float32).at[:n].set(a)
+
+    def to2d(a):
+        return a.reshape(rows, L)
+
+    # Padding rays sit far outside every cluster AABB with t_cap 0, so
+    # all-padding blocks get empty visit lists.
+    flat = (
+        pad1d(o.x, 1e7), pad1d(o.y, 1e7), pad1d(o.z, 1e7),
+        pad1d(d.x, 1.0), pad1d(d.y, 0.0), pad1d(d.z, 0.0),
+        pad1d(t_cap, 0.0),
+    )
+    of = Vec3(flat[0], flat[1], flat[2])
+    df = Vec3(flat[3], flat[4], flat[5])
+    lists, counts = _cluster_visit_lists(meta, of, df, flat[6], tile)
+    ins = tuple(to2d(a) for a in flat)
+    fps = (fp,) if ex is None else (fp, ex)
+
+    def kernel(*refs):
+        fp_ref = refs[0]
+        ex_ref = refs[1] if ex is not None else None
+        lst_ref, cnt_ref = refs[len(fps)], refs[len(fps) + 1]
+        ox, oy, oz, dx, dy, dz, tc = refs[len(fps) + 2 : len(fps) + 9]
+        outs = refs[len(fps) + 9 :]
+        ob = Vec3(ox[:, :], oy[:, :], oz[:, :])
+        db = Vec3(dx[:, :], dy[:, :], dz[:, :])
+        zeros = jnp.zeros(ob.x.shape, jnp.float32)
+        best = (tc[:, :], zeros, zeros, zeros, zeros - 1.0) + (zeros,) * n_extra
+
+        def body(i, best):
+            c = lst_ref[0, i]
+            sl_c = pl.ds(c * CS, CS)
+            blks = (fp_ref[0:8, sl_c], fp_ref[8:16, sl_c])
+            if with_uv:
+                blks += (ex_ref[0:8, sl_c],)
+            if with_tb:
+                blks += (ex_ref[8:16, sl_c],)
+            return _stream_cluster_faces(blks, ob, db, best, CS, with_uv, with_tb)
+
+        best = lax.fori_loop(0, cnt_ref[0, 0], body, best)
+        bt, bg = best[0], best[4]
+        win = bg >= 0.0
+        for ref, val in zip(
+            outs, (jnp.where(win, bt, jnp.inf),) + best[1:]
+        ):
+            ref[:, :] = val
+
+    spec = pl.BlockSpec((SUB, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(fps)
+        + [
+            pl.BlockSpec((1, C), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ]
+        + [spec] * 7,
+        out_specs=[spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
+        interpret=jax.default_backend() == "cpu",
+    )(*fps, lists, counts, *ins)
+    flat_out = [a.reshape(-1)[:n] for a in outs]
+    mt, fx, fy, fz, gf = flat_out[:5]
+    return mt, Vec3(fx, fy, fz), gf, tuple(flat_out[5:])
 
 
 def bvh_scene_hit(meta, fp_ref, o: Vec3, d: Vec3) -> HitSoA:

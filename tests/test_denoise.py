@@ -350,3 +350,103 @@ def test_unknown_filter_type():
     dev = make_device()
     with pytest.raises(OidnError):
         dev.new_filter("Bogus")
+
+
+# ----------------------------------------------------------------------------
+# Half3 + strided images (core/image.h:12-66; oidnDenoise.cpp:362 half
+# tolerance)
+
+
+def test_half_images_match_float_within_1e2():
+    dev = make_device()
+    rng = np.random.default_rng(0)
+    img = rng.random((40, 40, 3)).astype(np.float32)
+    alb = rng.random((40, 40, 3)).astype(np.float32)
+
+    f = dev.new_filter("RT")
+    f.set_image("color", img)
+    f.set_image("albedo", alb)
+    out32 = np.zeros((40, 40, 3), np.float32)
+    f.set_image("output", out32)
+    f.commit()
+    f.execute()
+
+    g = dev.new_filter("RT")
+    g.set_image("color", img.astype(np.float16))
+    g.set_image("albedo", alb.astype(np.float16))
+    out16 = np.zeros((40, 40, 3), np.float16)
+    g.set_image("output", out16)
+    g.commit()
+    g.execute()
+
+    assert out16.dtype == np.float16
+    assert np.isfinite(out16).all()
+    # the reference's fp16 reference-compare tolerance (oidnDenoise.cpp:362)
+    denom = np.maximum(np.abs(out32), 1e-3)
+    assert (np.abs(out16.astype(np.float32) - out32) / denom).max() <= 1e-2
+
+
+def test_strided_interleaved_rgba_buffer():
+    """pixelByteStride = 16 over an RGBA float buffer; strided output view
+    writes back in place, untouched alpha lanes preserved."""
+    dev = make_device()
+    rng = np.random.default_rng(1)
+    h = w = 32
+    rgba = rng.random((h, w, 4)).astype(np.float32)
+    rgba_out = np.full((h, w, 4), -7.0, np.float32)
+
+    f = dev.new_filter("RT")
+    f.set_image("color", rgba, width=w, height=h, pixel_byte_stride=16)
+    f.set_image("output", rgba_out, width=w, height=h, pixel_byte_stride=16)
+    f.commit()
+    f.execute()
+
+    # rgb lanes written, alpha lane untouched
+    assert (rgba_out[..., 3] == -7.0).all()
+    assert np.isfinite(rgba_out[..., :3]).all()
+    assert np.abs(rgba_out[..., :3]).max() > 0
+
+    # equals the contiguous run on the same pixels
+    g = dev.new_filter("RT")
+    g.set_image("color", np.ascontiguousarray(rgba[..., :3]))
+    out = np.zeros((h, w, 3), np.float32)
+    g.set_image("output", out)
+    g.commit()
+    g.execute()
+    np.testing.assert_allclose(rgba_out[..., :3], out, atol=1e-6)
+
+
+def test_strided_byte_offset_and_row_stride():
+    """A cropped window inside a larger buffer via byteOffset+rowByteStride."""
+    dev = make_device()
+    rng = np.random.default_rng(2)
+    big = rng.random((48, 48, 3)).astype(np.float32)
+    h = w = 24
+    row_stride = 48 * 3 * 4
+    off = (8 * 48 + 4) * 3 * 4  # start at pixel (8, 4)
+
+    f = dev.new_filter("RT")
+    f.set_image("color", big, width=w, height=h, byte_offset=off,
+                row_byte_stride=row_stride)
+    out = np.zeros((h, w, 3), np.float32)
+    f.set_image("output", out)
+    f.commit()
+    f.execute()
+
+    g = dev.new_filter("RT")
+    g.set_image("color", np.ascontiguousarray(big[8:8 + h, 4:4 + w]))
+    out2 = np.zeros((h, w, 3), np.float32)
+    g.set_image("output", out2)
+    g.commit()
+    g.execute()
+    np.testing.assert_allclose(out, out2, atol=1e-6)
+
+
+def test_strided_view_bounds_checked():
+    dev = make_device()
+    f = dev.new_filter("RT")
+    buf = np.zeros(100, np.float32)
+    with pytest.raises(OidnError):
+        f.set_image("color", buf, width=10, height=10)  # needs 300 floats
+    with pytest.raises(OidnError):
+        f.set_image("color", np.zeros((4, 4, 3), np.float64))  # bad dtype

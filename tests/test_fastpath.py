@@ -182,11 +182,12 @@ def test_bvh_tier_matches_oracle():
     np.testing.assert_allclose(em_k[m], np.asarray(ref.emit)[m], atol=1e-4)
 
 
-def test_wavefront_pallas_mesh_tier_matches_chunked():
-    """intersect_soa's cluster-BVH Pallas tier (mesh_pallas=True, the TPU
-    default for big untextured meshes) agrees with the chunked brute-force
-    stream across a multi-tile wavefront — including the t_cap pruning
-    against primitive hits (walls in front of / behind the ship)."""
+@pytest.mark.parametrize("tier", ["lists", "conds"])
+def test_wavefront_pallas_mesh_tier_matches_chunked(tier):
+    """intersect_soa's cluster-BVH Pallas tiers (visit-list default and the
+    in-kernel cond walk) agree with the chunked brute-force stream across a
+    multi-tile wavefront — including the t_cap pruning against primitive
+    hits (walls in front of / behind the ship)."""
     from mygpuraytracer_tpu.ops.trace import intersect_soa
     from mygpuraytracer_tpu.ops.vec3 import Vec3
     from mygpuraytracer_tpu.scene import load_scene
@@ -206,13 +207,13 @@ def test_wavefront_pallas_mesh_tier_matches_chunked():
     o = Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
     d = Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
 
-    fast = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True)
+    fast = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True, mesh_tier=tier)
     ref = intersect_soa(meta, dev, o, d, 128, mesh_pallas=False)
 
     # reorder variants must scatter back to identical lane order
     for mode in ("need", "coherence"):
         srt = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True,
-                            mesh_sort=mode)
+                            mesh_tier=tier, mesh_sort=mode)
         np.testing.assert_allclose(
             np.asarray(srt.t)[np.asarray(fast.hit)],
             np.asarray(fast.t)[np.asarray(fast.hit)], rtol=1e-5, atol=1e-5,

@@ -103,13 +103,14 @@ def _rays(n, seed=9):
     )
 
 
+@pytest.mark.parametrize("tier", ["lists", "conds"])
 @pytest.mark.parametrize("with_bump", [False, True])
-def test_textured_pallas_tier_matches_chunked(with_bump):
+def test_textured_pallas_tier_matches_chunked(with_bump, tier):
     dev, meta = build_device_scene(_wavy_mesh_scene(with_bump=with_bump), 128)
     assert meta.mesh_clusters and meta.has_textures
     o, d = _rays(8 * 128 + 61)  # one grid tile + ragged tail
 
-    fast = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True)
+    fast = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True, mesh_tier=tier)
     ref = intersect_soa(meta, dev, o, d, 128, mesh_pallas=False)
 
     t_f = np.where(np.asarray(fast.hit), np.asarray(fast.t), -1.0)
