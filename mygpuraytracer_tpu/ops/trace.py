@@ -814,7 +814,18 @@ def _cluster_visit_lists(meta, o: Vec3, d: Vec3, t_cap, tile: int):
     m = (tout >= jnp.maximum(tin, 0.0)) & (tin < t_cap[:, None])  # [N, C]
     mb = m.reshape(-1, tile, C).any(axis=1)  # [B, C]
     counts = mb.sum(axis=1, dtype=jnp.int32)[:, None]  # [B, 1]
-    lists = jnp.argsort(~mb, axis=1, stable=True).astype(jnp.int32)  # [B, C]
+    # Stable partition (visited clusters first, ascending) WITHOUT a sort:
+    # cumsum ranks + one inverse-permutation scatter of the tiny [B, C]
+    # table (jnp.argsort lowers to a full bitonic sort on TPU).
+    B = mb.shape[0]
+    mi = mb.astype(jnp.int32)
+    pos_v = jnp.cumsum(mi, axis=1) - 1  # rank among visited
+    pos_u = jnp.cumsum(1 - mi, axis=1) - 1  # rank among the rest
+    pos = jnp.where(mb, pos_v, counts + pos_u)  # unvisited fill count..C-1
+    col = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
+    lists = jnp.zeros((B, C), jnp.int32).at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], pos
+    ].set(col, unique_indices=True)
     return lists, counts
 
 
@@ -861,19 +872,21 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
     ins = tuple(to2d(a) for a in flat)
     fps = (fp,) if ex is None else (fp, ex)
 
-    def kernel(*refs):
+    def kernel(lst_ref, cnt_ref, *refs):
+        # lst/cnt are scalar-prefetch SMEM operands (whole arrays), indexed
+        # by the grid id — the Pallas-TPU idiom for data-dependent loops.
         fp_ref = refs[0]
         ex_ref = refs[1] if ex is not None else None
-        lst_ref, cnt_ref = refs[len(fps)], refs[len(fps) + 1]
-        ox, oy, oz, dx, dy, dz, tc = refs[len(fps) + 2 : len(fps) + 9]
-        outs = refs[len(fps) + 9 :]
+        ox, oy, oz, dx, dy, dz, tc = refs[len(fps) : len(fps) + 7]
+        outs = refs[len(fps) + 7 :]
+        b = pl.program_id(0)
         ob = Vec3(ox[:, :], oy[:, :], oz[:, :])
         db = Vec3(dx[:, :], dy[:, :], dz[:, :])
         zeros = jnp.zeros(ob.x.shape, jnp.float32)
         best = (tc[:, :], zeros, zeros, zeros, zeros - 1.0) + (zeros,) * n_extra
 
         def body(i, best):
-            c = lst_ref[0, i]
+            c = lst_ref[b, i]
             sl_c = pl.ds(c * CS, CS)
             blks = (fp_ref[0:8, sl_c], fp_ref[8:16, sl_c])
             if with_uv:
@@ -882,7 +895,7 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
                 blks += (ex_ref[8:16, sl_c],)
             return _stream_cluster_faces(blks, ob, db, best, CS, with_uv, with_tb)
 
-        best = lax.fori_loop(0, cnt_ref[0, 0], body, best)
+        best = lax.fori_loop(0, cnt_ref[b], body, best)
         bt, bg = best[0], best[4]
         win = bg >= 0.0
         for ref, val in zip(
@@ -890,20 +903,22 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
         ):
             ref[:, :] = val
 
-    spec = pl.BlockSpec((SUB, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
+    # index maps receive (grid idx, *scalar-prefetch refs) under
+    # PrefetchScalarGridSpec — swallow the refs
+    spec = pl.BlockSpec((SUB, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(n_pad // tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(fps)
-        + [
-            pl.BlockSpec((1, C), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        ]
         + [spec] * 7,
         out_specs=[spec] * n_out,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
         interpret=jax.default_backend() == "cpu",
-    )(*fps, lists, counts, *ins)
+    )(lists, counts[:, 0], *fps, *ins)
     flat_out = [a.reshape(-1)[:n] for a in outs]
     mt, fx, fy, fz, gf = flat_out[:5]
     return mt, Vec3(fx, fy, fz), gf, tuple(flat_out[5:])

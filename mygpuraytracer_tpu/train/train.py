@@ -63,6 +63,10 @@ class TrainConfig:
     seed: int = 42
     save_epochs: int = 10
     valid_epochs: int = 10
+    # Warm start: path to a checkpoint .pkl whose params initialize training
+    # when the result_dir has no checkpoint of its own (fresh optimizer +
+    # schedule — fine-tuning a previous round's weights on new data).
+    init_from: str = ""
 
     def check_compatible(self, other: dict):
         """Config mismatch detection on resume (train.py:68-99)."""
@@ -307,6 +311,10 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
         params = ckpt["params"]
         opt_state = ckpt["opt_state"]
         start_epoch = ckpt["epoch"]
+    elif cfg.init_from and os.path.exists(cfg.init_from):
+        # fine-tune warm start: previous round's params, fresh optimizer
+        with open(cfg.init_from, "rb") as f:
+            params = pickle.load(f)["params"]
 
     epoch_fn = build_epoch_fn(cfg, optimizer, x_imgs, y_imgs)
 
@@ -401,6 +409,10 @@ def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):
         params = ckpt["params"]
         opt_state = ckpt["opt_state"]
         start_epoch = ckpt["epoch"]
+    elif cfg.init_from and os.path.exists(cfg.init_from):
+        # fine-tune warm start: previous round's params, fresh optimizer
+        with open(cfg.init_from, "rb") as f:
+            params = pickle.load(f)["params"]
 
     step_fn, batch_sharding = build_train_step(cfg, optimizer, mesh)
 

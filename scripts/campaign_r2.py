@@ -29,6 +29,11 @@ STEPS_PER_EPOCH = 32
 BATCH_SIZE = 16
 WEIGHTS_DIR = "weights"
 RESULTS_DIR = "results/r2"
+# Warm-start directory: when set, each slot with no checkpoint of its own
+# initializes from <INIT_DIR>/<slot>'s latest checkpoint (fresh optimizer).
+INIT_DIR = ""
+# Peak-LR multiplier (fine-tune rounds run a gentler OneCycle).
+LR_SCALE = 1.0
 
 ALL_SLOTS = [
     "rt_hdr_alb", "rt_ldr_alb", "rt_hdr_alb_nrm", "rt_ldr_alb_nrm",
@@ -93,6 +98,18 @@ def stage_prep():
         print(f"prep {slot} done", flush=True)
 
 
+def _latest_ckpt_path(result_dir):
+    import re
+    best, best_ep = "", -1
+    if os.path.isdir(result_dir):
+        for fn in os.listdir(result_dir):
+            m = re.fullmatch(r"checkpoint_(\d+)\.pkl", fn)
+            if m and int(m.group(1)) > best_ep:
+                best_ep = int(m.group(1))
+                best = os.path.join(result_dir, fn)
+    return best
+
+
 def load_stack(d):
     xs, ys = [], []
     for ip in sorted(glob.glob(os.path.join(d, "*.input.npy"))):
@@ -132,10 +149,11 @@ def stage_train(slots, epochs):
             # so a non-pow2 tile (e.g. 192 from an intermediate-height smoke
             # dataset) would fail at shape-build time
             tile_size=1 << min(256, x.shape[1]).bit_length() - 1,
-            max_lr=1e-4 if fragile else 3e-4,
+            max_lr=(1e-4 if fragile else 3e-4) * LR_SCALE,
             precision="mixed",
             save_epochs=max(epochs // 10, 1),
             valid_epochs=max(epochs // 20, 1),
+            init_from=_latest_ckpt_path(os.path.join(INIT_DIR, slot)) if INIT_DIR else "",
             **slot_cfg_fields(slot),
         )
         last = {}
@@ -163,7 +181,7 @@ def stage_eval(slots):
     # or post-training evals silently score the pre-training weights.
     _weights._cache.clear()
 
-    eval_path = os.path.join("results", "r2_eval.json")
+    eval_path = RESULTS_DIR.rstrip("/") + "_eval.json"
     results = {}
     if os.path.exists(eval_path):  # merge: per-slot incremental eval
         with open(eval_path) as fh:
