@@ -29,9 +29,13 @@ class RenderOptions:
     # image is bitwise identical either way (RNG streams follow the pixel
     # id); on TPU sorting is pure overhead — there is no warp divergence to
     # fix — so this exists for reference parity and for measuring that fact.
+    # The reference compiles it in by default (SORT_BY_MATERIAL 1); here the
+    # default is OFF because the per-bounce argsort+gathers measured ~2/3 of
+    # the whole wavefront iteration (cornell 256^2: 109.5 -> ~35 ms/iter).
+    # BASELINE config #3 (bench cornell_dof_cache_sort) exercises it on.
     # The megakernel ignores it: its lanes are register-resident and have no
     # memory order to sort.
-    sort_by_material: bool = True
+    sort_by_material: bool = False
     antialiasing: bool = True
     # Per-ray mesh-AABB pre-test (pathtrace.cu:348-353): rays missing every
     # mesh AABB skip the face stream (scalar lax.cond over the wavefront).

@@ -46,7 +46,7 @@ EXTRA_NOISY = 2
 # opening is +z); the mesh scenes reuse the cornell viewing volume.
 R3_SCENES = [
     ("shipTex", "scenes/cornellShipTex.txt",
-     [None] + _ring_poses(9, 70), _ring_poses(2, 71)),
+     [None] + _ring_poses(5, 70), _ring_poses(2, 71)),
     ("cottage", "scenes/cornellCottage.txt",
      [None] + _ring_poses(9, 80), _ring_poses(2, 81)),
 ]
@@ -74,7 +74,7 @@ def main():
                     noisy_r.base_key = jax.random.key(400 + ci + (999 if tag else 0))
                     clean_r.base_key = jax.random.key(9100 + ci + (999 if tag else 0))
                     _step_bounded(noisy_r, NOISY_SPP, batch=NOISY_SPP)
-                    _step_bounded(clean_r, CLEAN_SPP_MESH, batch=32)
+                    _step_bounded(clean_r, CLEAN_SPP_MESH, batch=16)
                     save_master(out_dir, stem, noisy_r, clean_r)
                     print(f"{sname}{'/'+tag if tag else ''}_c{ci} "
                           f"({time.time()-t0:.0f}s)", flush=True)
