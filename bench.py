@@ -103,15 +103,29 @@ def main() -> None:
     try:
         ship_path = os.path.join(REPO_DIR, "scenes/shipOnly.txt")
         if os.path.exists(ship_path):
-            ship = load_scene(ship_path)
-            ship.set_resolution(256, 256)
+            ship = load_scene(ship_path)  # canonical 800x800 workload
             _, ship_ms = _bench_scene(
-                ship, megakernel=False, min_time=2.0, max_iters=32, batch=8
+                ship, megakernel=False, min_time=4.0, max_iters=32, batch=4
             )
         else:
             print(f"ship bench skipped: {ship_path} not found", file=sys.stderr)
     except Exception as e:
         print(f"ship bench failed: {e}", file=sys.stderr)
+
+    # textured+bumped 23k-face ship — BASELINE config #4's actual workload
+    # ("mesh + kd/ks/emi/bump textures over BVH")
+    shiptex_ms = None
+    try:
+        stx_path = os.path.join(REPO_DIR, "scenes/shipTexOnly.txt")
+        if os.path.exists(stx_path):
+            _, shiptex_ms = _bench_scene(
+                load_scene(stx_path), megakernel=False, min_time=4.0,
+                max_iters=32, batch=4,
+            )
+        else:
+            print(f"shipTex bench skipped: {stx_path} not found", file=sys.stderr)
+    except Exception as e:
+        print(f"shipTex bench failed: {e}", file=sys.stderr)
 
     # ---- 2. fused denoise ms/frame ------------------------------------------
     denoise_ms = None
@@ -182,6 +196,7 @@ def main() -> None:
         "cornellGlass_msamples_per_sec": rnd(glass_ms),
         "cornell_dof_cache_sort_msamples_per_sec": rnd(dof_ms),
         "ship23k_msamples_per_sec": rnd(ship_ms),
+        "shipTex23k_msamples_per_sec": rnd(shiptex_ms),
         "denoise_ms_per_frame": rnd(denoise_ms),
         "rmse_ldr_denoised_16spp_vs_own_1024spp": rnd(rmse, 5),
         "rmse_raw_denoised_16spp_vs_own_1024spp": rnd(rmse_raw, 5),

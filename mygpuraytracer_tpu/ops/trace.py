@@ -524,15 +524,22 @@ def intersect_soa(
         if use_pallas:
             # Per-cluster AABB pruning subsumes the bounding_box pre-test.
             zeros = jnp.zeros(o.x.shape, jnp.float32)
-            # "lists" (default): visit-list kernel — cluster selection in a
-            # vectorized XLA pre-pass, branch-free kernel loop. "conds":
-            # the round-2 in-kernel slab+cond walk (kept for A/B).
-            tier_fn = mesh_list_hit if mesh_tier == "lists" else mesh_pallas_hit
-            pall = lambda ov, dv, tcap: tier_fn(
-                meta, dev.face_plane, ov, dv, tcap,
-                ex=dev.face_plane_ex if (meta.has_textures or with_bump) else None,
-                with_uv=meta.has_textures, with_tb=with_bump,
-            )
+            # "rows" (default): row-granular shifted-face kernel (16-step
+            # visits per 128-ray row). "lists": (8,128)-block visit-list
+            # kernel. "conds": the round-2 in-kernel slab+cond walk. All
+            # three are image-equivalent (parity-tested).
+            if mesh_tier == "rows":
+                pall = lambda ov, dv, tcap: mesh_rows_hit(
+                    meta, dev.face_shift, ov, dv, tcap,
+                    with_uv=meta.has_textures, with_tb=with_bump,
+                )
+            else:
+                tier_fn = mesh_list_hit if mesh_tier == "lists" else mesh_pallas_hit
+                pall = lambda ov, dv, tcap: tier_fn(
+                    meta, dev.face_plane, ov, dv, tcap,
+                    ex=dev.face_plane_ex if (meta.has_textures or with_bump) else None,
+                    with_uv=meta.has_textures, with_tb=with_bump,
+                )
             if mesh_sort:
                 # Experimental reorder-before-query modes, scatter back:
                 #   "need" / True — stable-partition rays by the 1-bit "can
@@ -919,6 +926,154 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
         out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
         interpret=jax.default_backend() == "cpu",
     )(lists, counts[:, 0], *fps, *ins)
+    flat_out = [a.reshape(-1)[:n] for a in outs]
+    mt, fx, fy, fz, gf = flat_out[:5]
+    return mt, Vec3(fx, fy, fz), gf, tuple(flat_out[5:])
+
+
+def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
+                  with_uv: bool = False, with_tb: bool = False):
+    """Row-granular shifted-face mesh tier (mesh_tier='rows').
+
+    Same results as mesh_list_hit, two structural changes driven by
+    scripts/sim_union_blocks.py (128-ray cluster unions are ~3x smaller
+    than 1024-ray ones on the 23k-face ship):
+
+    - visit decisions are per 128-ray ROW (visit lists at tile=128);
+    - the face buffer is the sublane-shifted layout (DeviceScene.face_shift):
+      one (8,128) block of a quantity holds 8 lane-shifted copies of a
+      cluster's faces, so sublane s, lane l tests ray l against face
+      (l + 16s + k) % 128 at step k — a visit covers all (ray, face) pairs
+      in CS/8 = 16 roll-steps instead of CS.
+
+    A visit streams into a per-(shift, ray) partial best; a 3-round
+    circular sublane min-reduce (rolls, no cumsum — Mosaic has no cumsum
+    lowering) selects the winner and its attributes into the row's slot.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = o.x.shape[0]
+    SUB, L = 8, 128
+    tile = SUB * L
+    n_pad = ((n + tile - 1) // tile) * tile
+    rows = n_pad // L
+    CS = meta.cluster_size
+    C = len(meta.mesh_clusters)
+    n_extra = (2 if with_uv else 0) + (6 if with_tb else 0)
+    n_attr = 4 + n_extra  # fn xyz, gid, then uv/tb extras
+    Q = 13 + (12 if (with_uv or with_tb) else 0)
+    n_out = 5 + n_extra
+
+    def pad1d(a, fill):
+        return jnp.full((n_pad,), fill, jnp.float32).at[:n].set(a)
+
+    flat = (
+        pad1d(o.x, 1e7), pad1d(o.y, 1e7), pad1d(o.z, 1e7),
+        pad1d(d.x, 1.0), pad1d(d.y, 0.0), pad1d(d.z, 0.0),
+        pad1d(t_cap, 0.0),
+    )
+    of = Vec3(flat[0], flat[1], flat[2])
+    df = Vec3(flat[3], flat[4], flat[5])
+    lists, counts = _cluster_visit_lists(meta, of, df, flat[6], L)
+    ins = tuple(a.reshape(rows, L) for a in flat)
+
+    def kernel(lst_ref, cnt_ref, fs_ref, *refs):
+        ox, oy, oz, dx, dy, dz, tc = refs[:7]
+        outs = refs[7:]
+        b = pl.program_id(0)
+        zeros = jnp.zeros((SUB, L), jnp.float32)
+        rowi = lax.broadcasted_iota(jnp.int32, (SUB, L), 0)
+        eps = 1e-20
+        best = [tc[:, :], zeros, zeros, zeros, zeros - 1.0] + [zeros] * n_extra
+
+        for r in range(SUB):
+            orx, ory, orz = ox[r : r + 1, :], oy[r : r + 1, :], oz[r : r + 1, :]
+            drx, dry, drz = dx[r : r + 1, :], dy[r : r + 1, :], dz[r : r + 1, :]
+
+            def visit(i, best, r=r, orx=orx, ory=ory, orz=orz,
+                      drx=drx, dry=dry, drz=drz):
+                best = list(best)
+                c = lst_ref[b * SUB + r, i]
+                sl_c = pl.ds(c * CS, CS)
+                blks = tuple(fs_ref[q * 8 : (q + 1) * 8, sl_c] for q in range(Q))
+                pt = best[0][r : r + 1, :] + zeros  # row best, all sublanes
+                partial = (pt,) + (zeros,) * n_attr
+
+                def step(k, carry):
+                    pt = carry[0]
+                    pattr = carry[1 : 1 + n_attr]
+                    B = carry[1 + n_attr :]
+                    fnx, fny, fnz, cc = B[0], B[1], B[2], B[3]
+                    ux, uy, uz, cu = B[4], B[5], B[6], B[7]
+                    vx, vy, vz, cv, gid = B[8], B[9], B[10], B[11], B[12]
+                    A = orx * fnx + ory * fny + orz * fnz
+                    Bd = drx * fnx + dry * fny + drz * fnz
+                    Bd = jnp.where(jnp.abs(Bd) < eps, eps, Bd)
+                    t = (cc - A) / Bd
+                    du = drx * ux + dry * uy + drz * uz
+                    ou = orx * ux + ory * uy + orz * uz
+                    u = ou + t * du - cu
+                    dv = drx * vx + dry * vy + drz * vz
+                    ov = orx * vx + ory * vy + orz * vz
+                    v = ov + t * dv - cv
+                    ok = (
+                        (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > HIT_EPS) & (t < pt)
+                    )
+                    new_vals = [fnx, fny, fnz, gid]
+                    if with_uv:
+                        new_vals += [
+                            B[13] + u * B[15] + v * B[17],
+                            B[14] + u * B[16] + v * B[18],
+                        ]
+                    if with_tb:
+                        tb0 = 19 if with_uv else 13
+                        new_vals += [B[tb0 + j] for j in range(6)]
+                    pt = jnp.where(ok, t, pt)
+                    pattr = tuple(
+                        jnp.where(ok, nv, pa) for nv, pa in zip(new_vals, pattr)
+                    )
+                    rolled = tuple(pltpu.roll(bb, 1, 1) for bb in B)
+                    return (pt,) + pattr + rolled
+
+                out = lax.fori_loop(0, CS // 8, step, partial + blks)
+                pt = out[0]
+                pattr = list(out[1 : 1 + n_attr])
+                # circular min-reduce over the 8 shift-sublanes
+                for k in (4, 2, 1):
+                    ot = pltpu.roll(pt, k, 0)
+                    take = ot < pt
+                    pattr = [
+                        jnp.where(take, pltpu.roll(a, k, 0), a) for a in pattr
+                    ]
+                    pt = jnp.where(take, ot, pt)
+                upd = (rowi == r) & (pt < best[0])
+                best[0] = jnp.where(upd, pt, best[0])
+                for j in range(n_attr):
+                    best[1 + j] = jnp.where(upd, pattr[j], best[1 + j])
+                return tuple(best)
+
+            best = lax.fori_loop(0, cnt_ref[b * SUB + r], visit, tuple(best))
+
+        bt, bg = best[0], best[4]
+        win = bg >= 0.0
+        for ref, val in zip(outs, (jnp.where(win, bt, jnp.inf),) + tuple(best[1:])):
+            ref[:, :] = val
+
+    spec = pl.BlockSpec((SUB, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [spec] * 7,
+        out_specs=[spec] * n_out,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
+        interpret=jax.default_backend() == "cpu",
+    )(lists, counts[:, 0], fs, *ins)
     flat_out = [a.reshape(-1)[:n] for a in outs]
     mt, fx, fy, fz, gf = flat_out[:5]
     return mt, Vec3(fx, fy, fz), gf, tuple(flat_out[5:])

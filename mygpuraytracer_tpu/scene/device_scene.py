@@ -89,6 +89,16 @@ class DeviceScene(NamedTuple):
     # tangent/bitangent xyz. [16, 1] placeholder when the scene is untextured
     # so the plain kernel's operands stay unchanged.
     face_plane_ex: jnp.ndarray  # f32[16, Fp] (or [16, 1])
+    # Sublane-shifted face quantities for the row-granular mesh tier
+    # (mesh_tier='rows'): row q*8+s, lane c*128+l = quantity q of face
+    # (c*128 + (l + 16*s) % 128) — so one (8,128) block of quantity q holds
+    # 8 lane-shifted copies of a cluster's faces and a visit covers all
+    # (ray, face) pairs for a 128-ray row in 16 roll-steps instead of 128.
+    # Quantity order: the 13 plane rows (fn3 c U3 cu V3 cv gid), then uv
+    # rows 0-5 of face_plane_ex, then tangent/bitangent rows 8-13 (texture
+    # rows only present when the scene has textures/bump).
+    # [1, 1] placeholder when the scene has no clusters.
+    face_shift: jnp.ndarray  # f32[Q*8, Fp] (or [1, 1])
 
     # Materials [M]
     mat_color: jnp.ndarray  # f32[M,3]
@@ -384,6 +394,23 @@ def build_device_scene(
         face_plane_ex[4:6, :num_faces] = duv2.T
         face_plane_ex[8:14, :num_faces] = face_tb[:num_faces].T
 
+    # Sublane-shifted layout for the row-granular tier (see DeviceScene).
+    face_shift = np.zeros((1, 1), np.float32)
+    if num_faces > 0 and len(mesh_cluster_bounds) > 0:
+        q_rows = [face_plane[q] for q in range(13)]
+        if has_textures:
+            q_rows += [face_plane_ex[q] for q in range(6)]  # uv interp
+            q_rows += [face_plane_ex[q] for q in range(8, 14)]  # T/B
+        SHIFT = CLUSTER_SIZE // 8
+        face_shift = np.zeros((len(q_rows) * 8, Fp), np.float32)
+        n_clus_p = Fp // CLUSTER_SIZE
+        for q, row in enumerate(q_rows):
+            blocks = row.reshape(n_clus_p, CLUSTER_SIZE)
+            for s in range(8):
+                face_shift[q * 8 + s] = np.roll(
+                    blocks, -SHIFT * s, axis=1
+                ).reshape(-1)
+
     F = _pad_to(max(num_faces, 1), face_chunk)
     face_v0 = np.zeros((F, 3), np.float32)
     face_e1 = np.zeros((F, 3), np.float32)
@@ -456,6 +483,7 @@ def build_device_scene(
         ),
         face_plane=jnp.asarray(face_plane),
         face_plane_ex=jnp.asarray(face_plane_ex),
+        face_shift=jnp.asarray(face_shift),
         mat_color=jnp.asarray(mat_color),
         mat_spec_color=jnp.asarray(mat_spec_color),
         mat_spec_ex=jnp.asarray(mat_spec_ex),

@@ -182,7 +182,7 @@ def test_bvh_tier_matches_oracle():
     np.testing.assert_allclose(em_k[m], np.asarray(ref.emit)[m], atol=1e-4)
 
 
-@pytest.mark.parametrize("tier", ["lists", "conds"])
+@pytest.mark.parametrize("tier", ["rows", "lists", "conds"])
 def test_wavefront_pallas_mesh_tier_matches_chunked(tier):
     """intersect_soa's cluster-BVH Pallas tiers (visit-list default and the
     in-kernel cond walk) agree with the chunked brute-force stream across a

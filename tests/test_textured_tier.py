@@ -103,7 +103,7 @@ def _rays(n, seed=9):
     )
 
 
-@pytest.mark.parametrize("tier", ["lists", "conds"])
+@pytest.mark.parametrize("tier", ["rows", "lists", "conds"])
 @pytest.mark.parametrize("with_bump", [False, True])
 def test_textured_pallas_tier_matches_chunked(with_bump, tier):
     dev, meta = build_device_scene(_wavy_mesh_scene(with_bump=with_bump), 128)
