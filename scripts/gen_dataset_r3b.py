@@ -1,0 +1,154 @@
+"""Bench-scale (800x800) primitive-scene masters for the denoiser dataset.
+
+Round 2's held-out eval (0.032 RMSE at 384^2) is 2x better than the bench
+RMSE (0.069) — the bench denoises cornell at the canonical 800x800 workload
+where scene features span ~2x the pixels of every 384^2 training image.
+This renders the primitive scenes at 800x800 (cheap: they run at 250-370
+Msamples/s on the megakernel) and feeds that feature scale into training:
+
+- TRAIN poses are saved as four 384^2 corner tiles per pose (the device
+  trainer stacks all masters into one array, so sizes must stay uniform);
+- VALID poses are saved full 800x800 (stage_eval infers full images of any
+  size), giving a held-out eval in exactly the bench's pixel domain.
+
+K=2 extra noisy realizations per train pose, like gen_dataset_r2's extras.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/gen_dataset_r3b.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+import numpy as np
+
+import jax
+
+from gen_dataset_r2 import (  # noqa: E402
+    NOISY_SPP,
+    OUT,
+    REF,
+    _ring_poses,
+    _step_bounded,
+)
+from mygpuraytracer_tpu.config import RenderOptions
+from mygpuraytracer_tpu.render import Renderer
+from mygpuraytracer_tpu.scene import load_scene
+
+RES_BENCH = 800
+TILE = 384
+CLEAN_SPP_BENCH = 1024  # matches the bench's own ground-truth spp
+EXTRA_NOISY = 2
+
+R3B_SCENES = [
+    ("cornell800", f"{REF}/cornell.txt",
+     [None] + _ring_poses(5, 90), _ring_poses(2, 91)),
+    ("glass800", f"{REF}/cornellGlass.txt",
+     [None] + _ring_poses(3, 92), _ring_poses(1, 93)),
+]
+
+
+def _planes(r):
+    return dict(
+        color=r.beauty().astype(np.float32),
+        albedo=r.albedo_image().astype(np.float32),
+        normal=r.normal_image().astype(np.float32),
+    )
+
+
+def _tiles(img):
+    """Four TILE^2 corner crops of an 800x800 image (96 px center overlap)."""
+    h, w = img.shape[:2]
+    for ti, i in enumerate((0, h - TILE)):
+        for tj, j in enumerate((0, w - TILE)):
+            yield ti * 2 + tj, img[i : i + TILE, j : j + TILE]
+
+
+def save_tiled(out_dir, stem, noisy, clean):
+    os.makedirs(out_dir, exist_ok=True)
+    planes = {f"noisy_{k}": v for k, v in noisy.items()}
+    planes.update({f"clean_{k}": v for k, v in clean.items()})
+    tiled = {k: dict(_tiles(v)) for k, v in planes.items()}
+    for t in range(4):
+        np.savez(os.path.join(out_dir, f"{stem}t{t}.master.npz"),
+                 **{k: v[t] for k, v in tiled.items()})
+
+
+def save_full(out_dir, stem, noisy, clean):
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, f"{stem}.master.npz"),
+             **{f"noisy_{k}": v for k, v in noisy.items()},
+             **{f"clean_{k}": v for k, v in clean.items()})
+
+
+def main():
+    on_tpu = jax.default_backend() != "cpu"
+    for sname, path, train_poses, valid_poses in R3B_SCENES:
+        scene = load_scene(path)
+        scene.set_resolution(RES_BENCH, RES_BENCH)
+        opts = RenderOptions(megakernel=on_tpu)
+        noisy_r = Renderer(scene, opts, seed=5)
+        clean_r = Renderer(scene, opts, seed=9005)
+        t0 = time.time()
+        for tag, poses in (("", train_poses), ("valid", valid_poses)):
+            out_dir = os.path.join(OUT, tag) if tag else OUT
+            for ci, eye in enumerate(poses):
+                stem = f"{sname}_c{ci}"
+                probe = f"{stem}.master.npz" if tag else f"{stem}t0.master.npz"
+                clean = None
+                if not os.path.exists(os.path.join(out_dir, probe)):
+                    for r in (noisy_r, clean_r):
+                        if eye is not None:
+                            r.move_camera(position=eye)
+                        else:
+                            r.reset()
+                    noisy_r.base_key = jax.random.key(600 + ci + (999 if tag else 0))
+                    clean_r.base_key = jax.random.key(9600 + ci + (999 if tag else 0))
+                    _step_bounded(noisy_r, NOISY_SPP, batch=NOISY_SPP)
+                    _step_bounded(clean_r, CLEAN_SPP_BENCH, batch=256)
+                    clean = _planes(clean_r)
+                    (save_full if tag else save_tiled)(
+                        out_dir, stem, _planes(noisy_r), clean)
+                    print(f"{sname}{'/'+tag if tag else ''}_c{ci} "
+                          f"({time.time()-t0:.0f}s)", flush=True)
+                if tag:
+                    continue
+                for k in range(2, 2 + EXTRA_NOISY):
+                    if os.path.exists(
+                        os.path.join(out_dir, f"{stem}r{k}t0.master.npz")
+                    ):
+                        continue
+                    if clean is None:  # resuming: rebuild from the t-tiles
+                        parts = [
+                            np.load(os.path.join(out_dir, f"{stem}t{t}.master.npz"))
+                            for t in range(4)
+                        ]
+                        clean = {
+                            key: _untile([p[f"clean_{key}"] for p in parts])
+                            for key in ("color", "albedo", "normal")
+                        }
+                    if eye is not None:
+                        noisy_r.move_camera(position=eye)
+                    else:
+                        noisy_r.reset()
+                    noisy_r.base_key = jax.random.key(56000 + 100 * k + ci)
+                    _step_bounded(noisy_r, NOISY_SPP, batch=NOISY_SPP)
+                    save_tiled(out_dir, f"{stem}r{k}", _planes(noisy_r), clean)
+                    print(f"{sname}_c{ci}r{k} ({time.time()-t0:.0f}s)", flush=True)
+
+
+def _untile(tiles):
+    """Inverse of _tiles for 800x800 (overlap regions come from later tiles)."""
+    full = np.zeros((RES_BENCH, RES_BENCH, tiles[0].shape[-1]), np.float32)
+    offs = (0, RES_BENCH - TILE)
+    for t, img in enumerate(tiles):
+        i, j = offs[t // 2], offs[t % 2]
+        full[i : i + TILE, j : j + TILE] = img
+    return full
+
+
+if __name__ == "__main__":
+    main()
