@@ -77,13 +77,25 @@ class RenderOptions:
     # elsewhere); True/False force it. The Pallas tier prunes whole 128-face
     # Morton clusters per (8,128) ray sub-block against the best hit so far.
     mesh_pallas: bool | None = None
-    # EXPERIMENTAL mesh-query reorder before the Pallas tier (results are
-    # scattered back; image-identical either way — docs/MESH_TIERS.md):
+    # Mesh-query reorder before the Pallas tier (results are scattered
+    # back; image-identical either way — docs/MESH_TIERS.md):
     #   "need"/True — stable-partition by the 1-bit "ray can reach a mesh
     #     AABB" key; ~89% of bounce-ray blocks then skip every cluster.
+    #     Measured ~1.5x on embedded meshes, slightly negative when the
+    #     mesh fills the view.
     #   "coherence" — (origin cell | direction bin) key; measured a wash.
-    # False (default): query in pixel order.
-    mesh_sort: bool | str = False
+    #   False — query in pixel order.
+    #   None (default) — auto: Renderer enables "need" on TPU when the
+    #     host-side bounce-0 AABB-reach estimate is < 30% (VERDICT r2 §2).
+    mesh_sort: bool | str | None = None
+    # Which Pallas mesh kernel runs the cluster visits (docs/MESH_TIERS.md):
+    #   "lists" — (8,128)-block visit-list kernel (vectorized XLA pre-pass
+    #     builds per-block cluster lists; dynamic trip-count loop).
+    #   "rows"  — row-granular shifted-face kernel (16-step visits per
+    #     128-ray row; visit lists at tile=128).
+    #   "conds" — the round-2 in-kernel slab+cond walk.
+    # All three are image-equivalent (parity-tested).
+    mesh_tier: str = "lists"
 
     @property
     def first_bounce_cache_active(self) -> bool:

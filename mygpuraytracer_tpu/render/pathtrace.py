@@ -162,6 +162,7 @@ def render_sample(
                 bounding_box=options.bounding_box,
                 mesh_pallas=options.mesh_pallas,
                 mesh_sort=options.mesh_sort,
+                mesh_tier=options.mesh_tier,
             )
             return h, h
 
@@ -175,6 +176,7 @@ def render_sample(
             bounding_box=options.bounding_box,
             mesh_pallas=options.mesh_pallas,
             mesh_sort=options.mesh_sort,
+            mesh_tier=options.mesh_tier,
         )
         new_cache = cache
 
@@ -209,6 +211,7 @@ def render_sample(
                 bounding_box=options.bounding_box,
                 mesh_pallas=options.mesh_pallas,
                 mesh_sort=options.mesh_sort,
+                mesh_tier=options.mesh_tier,
             )
             u = lax.dynamic_slice_in_dim(U, 4 + 3 * depth_idx, 3, axis=0)
             if do_sort:

@@ -17,6 +17,7 @@ reference instead copies the full image GPU->host every frame
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -27,9 +28,77 @@ import jax.numpy as jnp
 from ..config import RenderOptions
 from ..ops.vec3 import Vec3
 from ..scene.device_scene import build_device_scene, camera_params
-from ..scene.structs import Scene
+from ..scene.structs import GeomType, Scene
 from ..utils.timer import PerformanceTimer
 from .pathtrace import make_empty_cache, render_sample
+
+
+def mesh_reach_fraction(scene: Scene, meta, grid: int = 64) -> float:
+    """Host-side bounce-0 estimate of the fraction of camera rays that can
+    reach any OBJ-mesh AABB (numpy replica of generate_camera_rays pixel
+    centers + the aabb_hit_soa slab test; no device work, no compiles).
+
+    Drives the ``mesh_sort`` auto mode: when most primary rays can't reach
+    the mesh ("embedded" scenes like cornellShip), the need-partition
+    concentrates the reaching minority into dense blocks and is a measured
+    ~1.5x win; when the mesh fills the view it is a slight loss
+    (docs/MESH_TIERS.md)."""
+    cam = scene.state.camera
+    w, h = meta.resolution
+    xs = (np.arange(grid, dtype=np.float32) + 0.5) * (w / grid)
+    ys = (np.arange(grid, dtype=np.float32) + 0.5) * (h / grid)
+    x, y = np.meshgrid(xs, ys)
+    sx = np.float32(cam.pixel_length[0]) * (x - w * 0.5)
+    sy = np.float32(cam.pixel_length[1]) * (y - h * 0.5)
+    view = np.asarray(cam.view, np.float32)
+    right = np.asarray(cam.right, np.float32)
+    up = np.asarray(cam.up, np.float32)
+    pos = np.asarray(cam.position, np.float32)
+    d = view[None, None] - right[None, None] * sx[..., None] - up[None, None] * sy[..., None]
+    mask = np.zeros(x.shape, bool)
+    for g in meta.geoms:
+        if g.type != int(GeomType.OBJ) or g.face_count <= 0:
+            continue
+        bmin = np.asarray(g.aabb_min, np.float32)
+        bmax = np.asarray(g.aabb_max, np.float32)
+        da = np.where(np.abs(d) < 1e-20, 1e-20, d)
+        t1 = (bmin[None, None] - pos[None, None]) / da
+        t2 = (bmax[None, None] - pos[None, None]) / da
+        tmin = np.minimum(t1, t2).max(axis=-1)
+        tmax = np.maximum(t1, t2).min(axis=-1)
+        mask |= (tmax >= tmin) & (tmax > 0)
+    return float(mask.mean())
+
+
+def _resolve_auto_options(options: RenderOptions, scene: Scene, meta) -> RenderOptions:
+    """Resolve mesh_sort=None (auto) ONCE at Renderer construction.
+
+    'need' is enabled only where it measured a win: TPU backend, cluster-BVH
+    Pallas tier active, and an EMBEDDED mesh — bounce-0 reach < 30% AND an
+    enclosing primitive environment (>= 4 non-OBJ geoms, e.g. cornell
+    walls) that keeps non-mesh rays alive past the first miss. Mesh-only
+    scenes fail that second test: their misses terminate, so the alive
+    wavefront is all mesh rays and the partition only adds sort cost
+    (measured loss on shipOnly, docs/MESH_TIERS.md). The decision is
+    pinned at init — flipping it on camera moves would retrace and
+    recompile the render program (minutes through the TPU tunnel)."""
+    if options.mesh_sort is not None:
+        return options
+    use: bool | str = False
+    pallas = options.mesh_pallas
+    if pallas is None:
+        pallas = jax.default_backend() != "cpu"
+    n_prim = sum(1 for g in meta.geoms if g.type != int(GeomType.OBJ))
+    if (
+        pallas
+        and meta.has_obj
+        and bool(meta.mesh_clusters)
+        and meta.num_faces > 256
+        and n_prim >= 4
+        and mesh_reach_fraction(scene, meta) < 0.30
+    ):
+        use = "need"
+    return dataclasses.replace(options, mesh_sort=use)
 
 
 def _first_select(first, new: Vec3, old: Vec3) -> Vec3:
@@ -112,6 +181,7 @@ class Renderer:
         self.scene = scene
         self.options = options or RenderOptions()
         self.dev, self.meta = build_device_scene(scene, self.options.face_chunk)
+        self.options = _resolve_auto_options(self.options, scene, self.meta)
         self.base_key = jax.random.key(seed)
         self.timer = PerformanceTimer()
         self.reset()
