@@ -40,6 +40,13 @@ def parse_args(argv=None):
     p.add_argument("--save-normal", action="store_true",
                    help="also save the first-hit normal AOV ([-1,1] -> [0,1])")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--mesh-tier", choices=("lists", "rows", "conds"),
+                   default="lists",
+                   help="Pallas mesh kernel variant (docs/MESH_TIERS.md)")
+    p.add_argument("--mesh-sort", choices=("auto", "off", "need", "coherence"),
+                   default="auto",
+                   help="mesh-query reorder before the Pallas tier "
+                        "(auto: enabled where measured a win)")
     from ..utils.platform import add_platform_flag
 
     add_platform_flag(p)
@@ -109,6 +116,9 @@ def main(argv=None) -> int:
         antialiasing=not args.no_antialias,
         depth_of_field=args.depth_of_field,
         ai_denoise=not args.no_denoise,
+        mesh_tier=args.mesh_tier,
+        mesh_sort={"auto": None, "off": False}.get(args.mesh_sort,
+                                                   args.mesh_sort),
     )
     log = (lambda *a: None) if args.quiet else print
 
