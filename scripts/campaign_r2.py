@@ -90,9 +90,15 @@ def stage_prep():
                 SLOTS_DIR, slot)
             os.makedirs(out, exist_ok=True)
             for path in masters:
+                stem = os.path.basename(path).replace(".master.npz", "")
+                # Incremental: masters are content-stable once written (gen
+                # scripts resume by skipping existing files), so a slice pair
+                # that exists is current — lets prep run mid-generation and
+                # again after, paying only for the new masters.
+                if os.path.exists(os.path.join(out, f"{stem}.target.npy")):
+                    continue
                 m = np.load(path)
                 x, y = recipe(m, slot)
-                stem = os.path.basename(path).replace(".master.npz", "")
                 np.save(os.path.join(out, f"{stem}.input.npy"), x)
                 np.save(os.path.join(out, f"{stem}.target.npy"), y)
         print(f"prep {slot} done", flush=True)
