@@ -42,13 +42,13 @@ def bench(tag, path, res, batch=4, secs=6.0, **opts):
 
 
 def main():
-    for tier in ("lists", "rows", "conds"):
-        bench(f"S256 {tier:5s}", "scenes/shipOnly.txt", 256, mesh_tier=tier)
-    for tier in ("lists", "rows"):
-        bench(f"S800 {tier:5s}", "scenes/shipOnly.txt", 800, batch=2,
-              mesh_tier=tier)
-    for tier in ("lists", "rows"):
-        bench(f"T256 {tier:5s}", "scenes/shipTexOnly.txt", 256, mesh_tier=tier)
+    # 'lists' baselines already on record (probe_ship_scale 2026-08-17:
+    # S256 108.1 ms / 0.606 Msam/s, S800 925.5 ms / 0.692) — each config
+    # is a 2-10 min remote compile, so probe only the decisive runs.
+    bench("S256 rows ", "scenes/shipOnly.txt", 256, mesh_tier="rows")
+    bench("S800 rows ", "scenes/shipOnly.txt", 800, batch=2, mesh_tier="rows")
+    bench("T256 lists", "scenes/shipTexOnly.txt", 256, mesh_tier="lists")
+    bench("T256 rows ", "scenes/shipTexOnly.txt", 256, mesh_tier="rows")
 
 
 if __name__ == "__main__":
