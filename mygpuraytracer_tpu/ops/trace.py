@@ -880,20 +880,21 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
     fps = (fp,) if ex is None else (fp, ex)
 
     def kernel(lst_ref, cnt_ref, *refs):
-        # lst/cnt are scalar-prefetch SMEM operands (whole arrays), indexed
-        # by the grid id — the Pallas-TPU idiom for data-dependent loops.
+        # lst/cnt are SMEM operands BLOCKED by the grid id (one block's list
+        # per step) — whole-array scalar prefetch overflows the 1 MB SMEM at
+        # 800^2+ wavefronts (5000 rows x 256 cl x 4 B = 5 MB), and no index
+        # map depends on their values, so blocked SMEM is sufficient.
         fp_ref = refs[0]
         ex_ref = refs[1] if ex is not None else None
         ox, oy, oz, dx, dy, dz, tc = refs[len(fps) : len(fps) + 7]
         outs = refs[len(fps) + 7 :]
-        b = pl.program_id(0)
         ob = Vec3(ox[:, :], oy[:, :], oz[:, :])
         db = Vec3(dx[:, :], dy[:, :], dz[:, :])
         zeros = jnp.zeros(ob.x.shape, jnp.float32)
         best = (tc[:, :], zeros, zeros, zeros, zeros - 1.0) + (zeros,) * n_extra
 
         def body(i, best):
-            c = lst_ref[b, i]
+            c = lst_ref[0, i]
             sl_c = pl.ds(c * CS, CS)
             blks = (fp_ref[0:8, sl_c], fp_ref[8:16, sl_c])
             if with_uv:
@@ -902,7 +903,7 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
                 blks += (ex_ref[8:16, sl_c],)
             return _stream_cluster_faces(blks, ob, db, best, CS, with_uv, with_tb)
 
-        best = lax.fori_loop(0, cnt_ref[b], body, best)
+        best = lax.fori_loop(0, cnt_ref[0, 0], body, best)
         bt, bg = best[0], best[4]
         win = bg >= 0.0
         for ref, val in zip(
@@ -910,22 +911,20 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
         ):
             ref[:, :] = val
 
-    # index maps receive (grid idx, *scalar-prefetch refs) under
-    # PrefetchScalarGridSpec — swallow the refs
-    spec = pl.BlockSpec((SUB, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_pad // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(fps)
-        + [spec] * 7,
-        out_specs=[spec] * n_out,
-    )
+    spec = pl.BlockSpec((SUB, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lst_spec = pl.BlockSpec(
+        (1, lists.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(n_pad // tile,),
+        in_specs=[lst_spec, cnt_spec]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(fps)
+        + [spec] * 7,
+        out_specs=[spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
         interpret=jax.default_backend() == "cpu",
-    )(lists, counts[:, 0], *fps, *ins)
+    )(lists, counts, *fps, *ins)
     flat_out = [a.reshape(-1)[:n] for a in outs]
     mt, fx, fy, fz, gf = flat_out[:5]
     return mt, Vec3(fx, fy, fz), gf, tuple(flat_out[5:])
@@ -979,9 +978,11 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     ins = tuple(a.reshape(rows, L) for a in flat)
 
     def kernel(lst_ref, cnt_ref, fs_ref, *refs):
+        # lst/cnt are SMEM operands BLOCKED by the grid id (this tile's 8
+        # per-row lists per step); whole-array scalar prefetch overflows the
+        # 1 MB SMEM at 800^2 wavefronts (5000 rows x 256 cl x 4 B = 5 MB).
         ox, oy, oz, dx, dy, dz, tc = refs[:7]
         outs = refs[7:]
-        b = pl.program_id(0)
         zeros = jnp.zeros((SUB, L), jnp.float32)
         rowi = lax.broadcasted_iota(jnp.int32, (SUB, L), 0)
         eps = 1e-20
@@ -994,7 +995,7 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
             def visit(i, best, r=r, orx=orx, ory=ory, orz=orz,
                       drx=drx, dry=dry, drz=drz):
                 best = list(best)
-                c = lst_ref[b * SUB + r, i]
+                c = lst_ref[r, i]
                 sl_c = pl.ds(c * CS, CS)
                 blks = tuple(fs_ref[q * 8 : (q + 1) * 8, sl_c] for q in range(Q))
                 pt = best[0][r : r + 1, :] + zeros  # row best, all sublanes
@@ -1054,26 +1055,26 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
                     best[1 + j] = jnp.where(upd, pattr[j], best[1 + j])
                 return tuple(best)
 
-            best = lax.fori_loop(0, cnt_ref[b * SUB + r], visit, tuple(best))
+            best = lax.fori_loop(0, cnt_ref[r, 0], visit, tuple(best))
 
         bt, bg = best[0], best[4]
         win = bg >= 0.0
         for ref, val in zip(outs, (jnp.where(win, bt, jnp.inf),) + tuple(best[1:])):
             ref[:, :] = val
 
-    spec = pl.BlockSpec((SUB, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_pad // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [spec] * 7,
-        out_specs=[spec] * n_out,
-    )
+    spec = pl.BlockSpec((SUB, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lst_spec = pl.BlockSpec(
+        (SUB, lists.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec((SUB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(n_pad // tile,),
+        in_specs=[lst_spec, cnt_spec]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] + [spec] * 7,
+        out_specs=[spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
         interpret=jax.default_backend() == "cpu",
-    )(lists, counts[:, 0], fs, *ins)
+    )(lists, counts, fs, *ins)
     flat_out = [a.reshape(-1)[:n] for a in outs]
     mt, fx, fy, fz, gf = flat_out[:5]
     return mt, Vec3(fx, fy, fz), gf, tuple(flat_out[5:])
