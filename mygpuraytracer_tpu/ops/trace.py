@@ -876,14 +876,23 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
     of = Vec3(flat[0], flat[1], flat[2])
     df = Vec3(flat[3], flat[4], flat[5])
     lists, counts = _cluster_visit_lists(meta, of, df, flat[6], tile)
+    # Mosaic requires SMEM block shapes with the 2nd-to-last dim divisible
+    # by 8 (or equal to the array dim): pad the block axis to 8 and hand
+    # each grid step the (8, C) group holding its row; the kernel indexes
+    # its own row with program_id % 8. Padded rows have count 0.
+    B = lists.shape[0]
+    B8 = ((B + 7) // 8) * 8
+    lists = jnp.zeros((B8, lists.shape[1]), jnp.int32).at[:B].set(lists)
+    counts = jnp.zeros((B8, 1), jnp.int32).at[:B].set(counts)
     ins = tuple(to2d(a) for a in flat)
     fps = (fp,) if ex is None else (fp, ex)
 
     def kernel(lst_ref, cnt_ref, *refs):
-        # lst/cnt are SMEM operands BLOCKED by the grid id (one block's list
+        # lst/cnt are SMEM operands BLOCKED by the grid id (an 8-row group
         # per step) — whole-array scalar prefetch overflows the 1 MB SMEM at
         # 800^2+ wavefronts (5000 rows x 256 cl x 4 B = 5 MB), and no index
         # map depends on their values, so blocked SMEM is sufficient.
+        r = pl.program_id(0) % 8
         fp_ref = refs[0]
         ex_ref = refs[1] if ex is not None else None
         ox, oy, oz, dx, dy, dz, tc = refs[len(fps) : len(fps) + 7]
@@ -894,7 +903,7 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
         best = (tc[:, :], zeros, zeros, zeros, zeros - 1.0) + (zeros,) * n_extra
 
         def body(i, best):
-            c = lst_ref[0, i]
+            c = lst_ref[r, i]
             sl_c = pl.ds(c * CS, CS)
             blks = (fp_ref[0:8, sl_c], fp_ref[8:16, sl_c])
             if with_uv:
@@ -903,7 +912,7 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
                 blks += (ex_ref[8:16, sl_c],)
             return _stream_cluster_faces(blks, ob, db, best, CS, with_uv, with_tb)
 
-        best = lax.fori_loop(0, cnt_ref[0, 0], body, best)
+        best = lax.fori_loop(0, cnt_ref[r, 0], body, best)
         bt, bg = best[0], best[4]
         win = bg >= 0.0
         for ref, val in zip(
@@ -913,8 +922,8 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
 
     spec = pl.BlockSpec((SUB, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     lst_spec = pl.BlockSpec(
-        (1, lists.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM)
-    cnt_spec = pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+        (8, lists.shape[1]), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),

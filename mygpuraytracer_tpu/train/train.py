@@ -116,6 +116,21 @@ def latest_checkpoint(result_dir: str):
         return pickle.load(f)
 
 
+def load_init_params(path: str):
+    """Warm-start params from a checkpoint pickle OR an exported .tza blob.
+
+    The TZA path exists because checkpoints live outside git: a fresh
+    machine keeps only the committed weights/<slot>.tza exports, which are
+    exactly the trained params (export.py is lossless fp32 oihw<->HWIO)."""
+    if path.endswith(".tza"):
+        from ..denoise.tza import read_tza
+        from ..denoise.unet import params_from_tza
+
+        return params_from_tza(read_tza(path))
+    with open(path, "rb") as f:
+        return pickle.load(f)["params"]
+
+
 def make_preprocess(cfg: TrainConfig):
     """Mirror the runtime input packing (input_reorder.ispc): color channels
     sanitized to [0,1] + transfer-encoded; albedo clamped; normals
@@ -313,8 +328,7 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
         start_epoch = ckpt["epoch"]
     elif cfg.init_from and os.path.exists(cfg.init_from):
         # fine-tune warm start: previous round's params, fresh optimizer
-        with open(cfg.init_from, "rb") as f:
-            params = pickle.load(f)["params"]
+        params = load_init_params(cfg.init_from)
 
     epoch_fn = build_epoch_fn(cfg, optimizer, x_imgs, y_imgs)
 
@@ -411,8 +425,7 @@ def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):
         start_epoch = ckpt["epoch"]
     elif cfg.init_from and os.path.exists(cfg.init_from):
         # fine-tune warm start: previous round's params, fresh optimizer
-        with open(cfg.init_from, "rb") as f:
-            params = pickle.load(f)["params"]
+        params = load_init_params(cfg.init_from)
 
     step_fn, batch_sharding = build_train_step(cfg, optimizer, mesh)
 

@@ -116,6 +116,19 @@ def _latest_ckpt_path(result_dir):
     return best
 
 
+def _warm_start(slot):
+    """Fine-tune init: prefer INIT_DIR's checkpoint; fall back to the
+    committed weights/<slot>.tza export (checkpoints live outside git, so a
+    fresh machine only has the TZA form of the previous round's params)."""
+    if not INIT_DIR:
+        return ""
+    ckpt = _latest_ckpt_path(os.path.join(INIT_DIR, slot))
+    if ckpt:
+        return ckpt
+    tza = os.path.join(WEIGHTS_DIR, f"{slot}.tza")
+    return tza if os.path.exists(tza) else ""
+
+
 def load_stack(d):
     xs, ys = [], []
     for ip in sorted(glob.glob(os.path.join(d, "*.input.npy"))):
@@ -159,7 +172,7 @@ def stage_train(slots, epochs):
             precision="mixed",
             save_epochs=max(epochs // 10, 1),
             valid_epochs=max(epochs // 20, 1),
-            init_from=_latest_ckpt_path(os.path.join(INIT_DIR, slot)) if INIT_DIR else "",
+            init_from=_warm_start(slot),
             **slot_cfg_fields(slot),
         )
         last = {}

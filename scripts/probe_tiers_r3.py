@@ -42,13 +42,13 @@ def bench(tag, path, res, batch=4, secs=6.0, **opts):
 
 
 def main():
-    # 'lists' baselines already on record (probe_ship_scale 2026-08-17:
-    # S256 108.1 ms / 0.606 Msam/s, S800 925.5 ms / 0.692) — each config
-    # is a 2-10 min remote compile, so probe only the decisive runs.
-    bench("S256 rows ", "scenes/shipOnly.txt", 256, mesh_tier="rows")
-    bench("S800 rows ", "scenes/shipOnly.txt", 800, batch=2, mesh_tier="rows")
+    # On record (probe_ship_scale + this probe, 2026-08-17): lists S256
+    # 108.1 ms / 0.606 Msam/s, S800 925.5 / 0.692; rows S256 69.9 / 0.938,
+    # S800 360.4 / 1.776. Each config is a 2-10 min remote compile, so only
+    # the undecided textured configs remain.
     bench("T256 lists", "scenes/shipTexOnly.txt", 256, mesh_tier="lists")
     bench("T256 rows ", "scenes/shipTexOnly.txt", 256, mesh_tier="rows")
+    bench("T800 rows ", "scenes/shipTexOnly.txt", 800, batch=2, mesh_tier="rows")
 
 
 if __name__ == "__main__":
