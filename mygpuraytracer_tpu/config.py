@@ -89,13 +89,16 @@ class RenderOptions:
     #     host-side bounce-0 AABB-reach estimate is < 30% (VERDICT r2 §2).
     mesh_sort: bool | str | None = None
     # Which Pallas mesh kernel runs the cluster visits (docs/MESH_TIERS.md):
+    #   "rows"  — row-granular shifted-face kernel (16-step visits per
+    #     128-ray row; visit lists at tile=128). Production default: the
+    #     2026-08-17 shoot-out measured it fastest on every config
+    #     (shipOnly 256^2 0.94 vs 0.61 Msam/s, 800^2 1.78 vs 0.69;
+    #     textured ship 256^2 0.95 vs 0.57).
     #   "lists" — (8,128)-block visit-list kernel (vectorized XLA pre-pass
     #     builds per-block cluster lists; dynamic trip-count loop).
-    #   "rows"  — row-granular shifted-face kernel (16-step visits per
-    #     128-ray row; visit lists at tile=128).
     #   "conds" — the round-2 in-kernel slab+cond walk.
     # All three are image-equivalent (parity-tested).
-    mesh_tier: str = "lists"
+    mesh_tier: str = "rows"
 
     @property
     def first_bounce_cache_active(self) -> bool:

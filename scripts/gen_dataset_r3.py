@@ -45,11 +45,12 @@ EXTRA_NOISY = 2
 # Poses look at the scene center from the front hemisphere (the cornell
 # opening is +z); the mesh scenes reuse the cornell viewing volume.
 R3_SCENES = [
-    # shipTex trimmed to 4 train poses mid-run (~34 min/pose for the 1024-spp
-    # clean render; poses c0..c3 are the same eyes as the original 6-pose
-    # plan, so the already-rendered c0/c1 masters stay valid).
+    # The rows mesh tier (2026-08-17 shoot-out) renders the textured ship at
+    # ~1.2 Msam/s at this scale — ~2.5 min per 1024-spp clean pose, so the
+    # full 8-pose plan is affordable (round-3's first attempt was trimmed to
+    # 4 poses at ~34 min/pose on the lists tier).
     ("shipTex", "scenes/cornellShipTex.txt",
-     ([None] + _ring_poses(5, 70))[:4], _ring_poses(2, 71)[:1]),
+     [None] + _ring_poses(7, 70), _ring_poses(2, 71)),
     ("cottage", "scenes/cornellCottage.txt",
      [None] + _ring_poses(9, 80), _ring_poses(2, 81)),
 ]
