@@ -789,7 +789,8 @@ def _stream_cluster_faces(blks, o: Vec3, d: Vec3, best, CS: int,
     return out[: 5 + n_extra]
 
 
-def _cluster_visit_lists(meta, o: Vec3, d: Vec3, t_cap, tile: int):
+def _cluster_visit_lists(meta, o: Vec3, d: Vec3, t_cap, tile: int,
+                         order_by_tin: bool = False):
     """Branchless XLA pre-pass: per ray block, the list of clusters any of
     its rays can reach closer than its current best hit.
 
@@ -799,8 +800,13 @@ def _cluster_visit_lists(meta, o: Vec3, d: Vec3, t_cap, tile: int):
     fused elementwise pass. The kernel then loops over exactly the listed
     clusters (dynamic trip count, no branches).
 
-    Returns (lists i32[B, C] — visited clusters first, ascending, then the
-    rest; counts i32[B, 1]).
+    Returns (lists i32[B, C] — visited clusters first, then the rest;
+    counts i32[B, 1]). Visited clusters come ascending by id, or — with
+    ``order_by_tin`` — near-to-far by the block's min AABB-entry distance,
+    so a kernel that rechecks the slab test against its RUNNING best-t can
+    skip late visits that the early ones occluded (the recheck reaches the
+    final-t oracle exactly under this order — scripts/sim_dynamic_prune.py,
+    docs/MESH_TIERS.md). Costs one [B, C] argsort (bitonic on TPU).
     """
     C = len(meta.mesh_clusters)
     cmin = jnp.asarray([c[0] for c in meta.mesh_clusters], jnp.float32)  # [C,3]
@@ -821,6 +827,13 @@ def _cluster_visit_lists(meta, o: Vec3, d: Vec3, t_cap, tile: int):
     m = (tout >= jnp.maximum(tin, 0.0)) & (tin < t_cap[:, None])  # [N, C]
     mb = m.reshape(-1, tile, C).any(axis=1)  # [B, C]
     counts = mb.sum(axis=1, dtype=jnp.int32)[:, None]  # [B, 1]
+    if order_by_tin:
+        # Near-to-far: key = per-block min entry distance among masked rays
+        # (+inf for unvisited clusters, which argsort sends past count-1).
+        tinb = jnp.where(m, tin, jnp.inf).reshape(-1, tile, C).min(axis=1)
+        key = jnp.where(mb, tinb, jnp.inf)
+        lists = jnp.argsort(key, axis=1).astype(jnp.int32)
+        return lists, counts
     # Stable partition (visited clusters first, ascending) WITHOUT a sort:
     # cumsum ranks + one inverse-permutation scatter of the tiny [B, C]
     # table (jnp.argsort lowers to a full bitonic sort on TPU).
@@ -983,10 +996,25 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     )
     of = Vec3(flat[0], flat[1], flat[2])
     df = Vec3(flat[3], flat[4], flat[5])
-    lists, counts = _cluster_visit_lists(meta, of, df, flat[6], L)
+    # Dynamic near-to-far recheck (measured +13%/+26% on shipOnly 256^2/
+    # 800^2): only when the face buffer leaves room — the kernel's lax.cond
+    # plus the whole-array VMEM face operand must fit the 16 MiB scoped-vmem
+    # stack of the XLA cond branch that wraps the bounce (pathtrace.py
+    # any_alive cond). The textured 25-quantity buffer alone is ~18 MiB, so
+    # textured scenes keep the plain ordered walk.
+    recheck = fs.size * 4 < 14 * 2**20
+    lists, counts = _cluster_visit_lists(meta, of, df, flat[6], L,
+                                         order_by_tin=recheck)
+    # Cluster AABBs as an SMEM operand (6 x C f32, ~4 KB) for the in-kernel
+    # dynamic recheck; rows: cmin xyz then cmax xyz.
+    cb = jnp.asarray(
+        [[c[0][i] for c in meta.mesh_clusters] for i in range(3)]
+        + [[c[1][i] for c in meta.mesh_clusters] for i in range(3)],
+        jnp.float32,
+    )
     ins = tuple(a.reshape(rows, L) for a in flat)
 
-    def kernel(lst_ref, cnt_ref, fs_ref, *refs):
+    def kernel(lst_ref, cnt_ref, cb_ref, fs_ref, *refs):
         # lst/cnt are SMEM operands BLOCKED by the grid id (this tile's 8
         # per-row lists per step); whole-array scalar prefetch overflows the
         # 1 MB SMEM at 800^2 wavefronts (5000 rows x 256 cl x 4 B = 5 MB).
@@ -1000,11 +1028,44 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
         for r in range(SUB):
             orx, ory, orz = ox[r : r + 1, :], oy[r : r + 1, :], oz[r : r + 1, :]
             drx, dry, drz = dx[r : r + 1, :], dy[r : r + 1, :], dz[r : r + 1, :]
+            inx = 1.0 / jnp.where(jnp.abs(drx) < eps, eps, drx)
+            iny = 1.0 / jnp.where(jnp.abs(dry) < eps, eps, dry)
+            inz = 1.0 / jnp.where(jnp.abs(drz) < eps, eps, drz)
 
             def visit(i, best, r=r, orx=orx, ory=ory, orz=orz,
-                      drx=drx, dry=dry, drz=drz):
-                best = list(best)
+                      drx=drx, dry=dry, drz=drz, inx=inx, iny=iny, inz=inz):
                 c = lst_ref[r, i]
+                if not recheck:
+                    return _visit_stream(c, best)
+                # Dynamic near-to-far prune: the list holds clusters ordered
+                # by entry distance against the INITIAL t-cap; earlier
+                # (nearer) visits shrink the row's best-t, so recheck the
+                # slab test against the RUNNING best and skip dead visits
+                # (reaches the final-t oracle — docs/MESH_TIERS.md).
+                t1 = (cb_ref[0, c] - orx) * inx
+                t2 = (cb_ref[3, c] - orx) * inx
+                tin = jnp.minimum(t1, t2)
+                tout = jnp.maximum(t1, t2)
+                t1 = (cb_ref[1, c] - ory) * iny
+                t2 = (cb_ref[4, c] - ory) * iny
+                tin = jnp.maximum(tin, jnp.minimum(t1, t2))
+                tout = jnp.minimum(tout, jnp.maximum(t1, t2))
+                t1 = (cb_ref[2, c] - orz) * inz
+                t2 = (cb_ref[5, c] - orz) * inz
+                tin = jnp.maximum(tin, jnp.minimum(t1, t2))
+                tout = jnp.minimum(tout, jnp.maximum(t1, t2))
+                row_best = best[0][r : r + 1, :]
+                alive = (tout >= jnp.maximum(tin, 0.0)) & (tin < row_best)
+                return lax.cond(
+                    jnp.any(alive),
+                    lambda b: _visit_stream(c, b),
+                    lambda b: b,
+                    tuple(best),
+                )
+
+            def _visit_stream(c, best, r=r, orx=orx, ory=ory, orz=orz,
+                              drx=drx, dry=dry, drz=drz):
+                best = list(best)
                 sl_c = pl.ds(c * CS, CS)
                 blks = tuple(fs_ref[q * 8 : (q + 1) * 8, sl_c] for q in range(Q))
                 pt = best[0][r : r + 1, :] + zeros  # row best, all sublanes
@@ -1075,15 +1136,16 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     lst_spec = pl.BlockSpec(
         (SUB, lists.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM)
     cnt_spec = pl.BlockSpec((SUB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    cb_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole array, ~4 KB
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
-        in_specs=[lst_spec, cnt_spec]
+        in_specs=[lst_spec, cnt_spec, cb_spec]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] + [spec] * 7,
         out_specs=[spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
         interpret=jax.default_backend() == "cpu",
-    )(lists, counts, fs, *ins)
+    )(lists, counts, cb, fs, *ins)
     flat_out = [a.reshape(-1)[:n] for a in outs]
     mt, fx, fy, fz, gf = flat_out[:5]
     return mt, Vec3(fx, fy, fz), gf, tuple(flat_out[5:])

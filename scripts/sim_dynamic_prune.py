@@ -106,8 +106,8 @@ def main():
 
     def slab_rows(o_r, d_r):
         inv = 1.0 / np.where(np.abs(d_r) < 1e-20, 1e-20, d_r)
-        t1 = (cmin[None, :, None] - o_r[:, None, :]) * inv[:, None, :]
-        t2 = (cmax[None, :, None] - o_r[:, None, :]) * inv[:, None, :]
+        t1 = (cmin[None, :, :] - o_r[:, None, :]) * inv[:, None, :]
+        t2 = (cmax[None, :, :] - o_r[:, None, :]) * inv[:, None, :]
         tin = np.minimum(t1, t2).max(-1)
         tout = np.maximum(t1, t2).min(-1)
         return tin, tout  # [ROW, C]
@@ -147,10 +147,6 @@ def main():
     # one diffuse bounce off the bounce-0 hits
     def mesh_t_full(o_np, d_np, t_cap):
         best = t_cap.copy()
-        for c in range(n_clus):
-            tin, tout = slab_rows(o_np[:, :], d_np[:, :])[0], None
-            break
-        # full trace via rows machinery (reuse run-less loop)
         for c in range(n_clus):
             s, e, cc, d11, d12, d22, inv = packs[c]
             invd = 1.0 / np.where(np.abs(d_np) < 1e-20, 1e-20, d_np)
