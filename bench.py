@@ -40,14 +40,22 @@ def _bench_scene(scene, megakernel, min_time=2.0, max_iters=1024, batch=128,
     r.step_many(4)
     sync()
     width, height = r.meta.resolution
-    total_iters, total_time = 0, 0.0
-    while total_time < min_time and total_iters < max_iters:
-        t0 = time.perf_counter()
+    # Calibrate with one synced batch, then time K batches dispatched
+    # back-to-back with ONE final sync: every host<->device sync through
+    # the axon tunnel costs ~34 ms of latency, so per-batch syncs inflate
+    # fast configs by 10-20%. Each program stays bounded (<= batch iters)
+    # under the TPU worker's ~60 s watchdog.
+    t0 = time.perf_counter()
+    r.step_many(batch)
+    sync()
+    dt1 = time.perf_counter() - t0
+    k = max(1, min(int(min_time / max(dt1, 1e-9)) + 1, max_iters // batch))
+    t0 = time.perf_counter()
+    for _ in range(k):
         r.step_many(batch)
-        sync()
-        total_time += time.perf_counter() - t0
-        total_iters += batch
-    ms = width * height * total_iters / total_time / 1e6
+    sync()
+    total_time = time.perf_counter() - t0
+    ms = width * height * k * batch / total_time / 1e6
     return r, ms
 
 
@@ -144,18 +152,22 @@ def main() -> None:
         params, _ = load_denoiser_params("rt_ldr_alb")
 
         def denoise_once():
-            out = denoise_accumulator(
+            return denoise_accumulator(
                 r.image, r.albedo, jnp.int32(r.iteration), params,
                 r.meta.resolution,
             )
-            np.asarray(out[:2, :2])  # sync without the full-image transfer
-            return out
 
         out = denoise_once()  # compile
+        np.asarray(out[:2, :2])
+        # Batch the timed dispatches with ONE final sync: each host<->device
+        # sync through the axon tunnel costs ~34 ms of pure latency, which
+        # at ~per-frame granularity would dominate the measurement (the
+        # round-2 41.3 ms/frame was ~80% tunnel latency).
         t0 = time.perf_counter()
-        runs = 4
+        runs = 16
         for _ in range(runs):
             out = denoise_once()
+        np.asarray(out[:2, :2])  # sync without the full-image transfer
         denoise_ms = 1000 * (time.perf_counter() - t0) / runs
         denoised_16 = np.asarray(out)
     except Exception as e:  # keep the headline metric alive no matter what

@@ -18,6 +18,7 @@ doubles as this module's test oracle — see tests/test_fastpath.py).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -1002,7 +1003,8 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     # stack of the XLA cond branch that wraps the bounce (pathtrace.py
     # any_alive cond). The textured 25-quantity buffer alone is ~18 MiB, so
     # textured scenes keep the plain ordered walk.
-    recheck = fs.size * 4 < 14 * 2**20
+    recheck = (fs.size * 4 < 14 * 2**20
+               or bool(os.environ.get("MYGPURT_FORCE_RECHECK")))
     lists, counts = _cluster_visit_lists(meta, of, df, flat[6], L,
                                          order_by_tin=recheck)
     # Cluster AABBs as an SMEM operand (6 x C f32, ~4 KB) for the in-kernel

@@ -240,3 +240,39 @@ def test_train_device_smoke(tmp_path):
     recs = [json.loads(l) for l in open(os.path.join(cfg.result_dir, "log.jsonl"))]
     assert len(recs) == 2 and all(np.isfinite(r["loss"]) for r in recs)
     assert all("valid_loss" in r and np.isfinite(r["valid_loss"]) for r in recs)
+
+
+def test_warm_start_from_tza(tmp_path):
+    """init_from accepts an exported .tza: a fresh machine keeps only the
+    committed TZA form of a previous round's params (checkpoints live
+    outside git), so fine-tune campaigns warm-start from it."""
+    from mygpuraytracer_tpu.train.train import load_init_params
+
+    src = init_unet_params(6, seed=11)
+    tza_path = str(tmp_path / "warm.tza")
+    export_weights(src, tza_path)
+    loaded = load_init_params(tza_path)
+    x = jnp.ones((1, 32, 32, 6))
+    np.testing.assert_allclose(
+        np.asarray(unet_apply(src, x)), np.asarray(unet_apply(loaded, x)),
+        atol=1e-5,
+    )
+
+    # and a training run that starts from it (no checkpoint in result_dir)
+    data = (tmp_path / "data")
+    data.mkdir()
+    cfg = TrainConfig(
+        data_dir=_make_dataset(data, size=48),
+        result_dir=str(tmp_path / "result"),
+        in_channels=6,
+        loss="l1",
+        num_epochs=1,
+        steps_per_epoch=1,
+        batch_size=2,
+        tile_size=32,
+        precision="float32",
+        save_epochs=1,
+        init_from=tza_path,
+    )
+    train(cfg)
+    assert latest_checkpoint(cfg.result_dir)["epoch"] == 1
