@@ -45,12 +45,12 @@ EXTRA_NOISY = 2
 # Poses look at the scene center from the front hemisphere (the cornell
 # opening is +z); the mesh scenes reuse the cornell viewing volume.
 R3_SCENES = [
-    # The rows mesh tier (2026-08-17 shoot-out) renders the textured ship at
-    # ~1.2 Msam/s at this scale — ~2.5 min per 1024-spp clean pose, so the
-    # full 8-pose plan is affordable (round-3's first attempt was trimmed to
-    # 4 poses at ~34 min/pose on the lists tier).
+    # Measured mid-run: ~18 min/pose for the 1024-spp clean — the EMBEDDED
+    # cornell box keeps all 8 bounces alive (shipTexOnly renders ~7x faster
+    # at the same size), so trim to 5 train + 1 valid poses; c0..c4 are a
+    # prefix of the 8-pose ring, so already-rendered masters stay valid.
     ("shipTex", "scenes/cornellShipTex.txt",
-     [None] + _ring_poses(7, 70), _ring_poses(2, 71)),
+     ([None] + _ring_poses(7, 70))[:5], _ring_poses(2, 71)[:1]),
     ("cottage", "scenes/cornellCottage.txt",
      [None] + _ring_poses(9, 80), _ring_poses(2, 81)),
 ]
