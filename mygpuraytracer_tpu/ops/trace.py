@@ -997,14 +997,26 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     )
     of = Vec3(flat[0], flat[1], flat[2])
     df = Vec3(flat[3], flat[4], flat[5])
+    # Big face buffers leave VMEM residence: a whole-array VMEM operand must
+    # fit the 16 MiB scoped-vmem stack of the XLA cond branch that wraps the
+    # bounce (pathtrace.py any_alive cond) — the textured 25-quantity ship
+    # buffer alone is ~18 MiB, and VMEM residence caps mesh size outright.
+    # Above the threshold the buffer stays in HBM (memory_space=ANY) and
+    # each visit DMAs its cluster's (Q*8, CS) panel into a VMEM scratch
+    # (~100 KB textured): re-read traffic is visits x panel ~ a few GB/s,
+    # well under HBM bandwidth, and the mesh-size ceiling becomes HBM.
+    # Default OFF until hardware-verified (parity holds in interpret mode;
+    # flip the default to `fs.size * 4 >= 14 * 2**20` once the TPU probe
+    # passes — scripts/probe_scoped_vmem.py covers both unlock routes).
+    dma = False
+    env_dma = os.environ.get("MYGPURT_ROWS_DMA")
+    if env_dma is not None:
+        dma = env_dma == "1"
     # Dynamic near-to-far recheck (measured +13%/+26% on shipOnly 256^2/
-    # 800^2): only when the face buffer leaves room — the kernel's lax.cond
-    # plus the whole-array VMEM face operand must fit the 16 MiB scoped-vmem
-    # stack of the XLA cond branch that wraps the bounce (pathtrace.py
-    # any_alive cond). The textured 25-quantity buffer alone is ~18 MiB, so
-    # textured scenes keep the plain ordered walk.
-    recheck = (fs.size * 4 < 14 * 2**20
-               or bool(os.environ.get("MYGPURT_FORCE_RECHECK")))
+    # 800^2): always on — the DMA path keeps the kernel's VMEM footprint
+    # small enough for the lax.cond that implements the skip.
+    recheck = dma or fs.size * 4 < 14 * 2**20 or bool(
+        os.environ.get("MYGPURT_FORCE_RECHECK"))
     lists, counts = _cluster_visit_lists(meta, of, df, flat[6], L,
                                          order_by_tin=recheck)
     # Cluster AABBs as an SMEM operand (6 x C f32, ~4 KB) for the in-kernel
@@ -1021,7 +1033,11 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
         # per-row lists per step); whole-array scalar prefetch overflows the
         # 1 MB SMEM at 800^2 wavefronts (5000 rows x 256 cl x 4 B = 5 MB).
         ox, oy, oz, dx, dy, dz, tc = refs[:7]
-        outs = refs[7:]
+        if dma:
+            outs = refs[7:-2]
+            fs_vmem, fs_sem = refs[-2], refs[-1]
+        else:
+            outs = refs[7:]
         zeros = jnp.zeros((SUB, L), jnp.float32)
         rowi = lax.broadcasted_iota(jnp.int32, (SUB, L), 0)
         eps = 1e-20
@@ -1069,7 +1085,19 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
                               drx=drx, dry=dry, drz=drz):
                 best = list(best)
                 sl_c = pl.ds(c * CS, CS)
-                blks = tuple(fs_ref[q * 8 : (q + 1) * 8, sl_c] for q in range(Q))
+                if dma:
+                    cp = pltpu.make_async_copy(
+                        fs_ref.at[:, sl_c], fs_vmem, fs_sem
+                    )
+                    cp.start()
+                    cp.wait()
+                    blks = tuple(
+                        fs_vmem[q * 8 : (q + 1) * 8, :] for q in range(Q)
+                    )
+                else:
+                    blks = tuple(
+                        fs_ref[q * 8 : (q + 1) * 8, sl_c] for q in range(Q)
+                    )
                 pt = best[0][r : r + 1, :] + zeros  # row best, all sublanes
                 partial = (pt,) + (zeros,) * n_attr
 
@@ -1139,13 +1167,18 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
         (SUB, lists.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM)
     cnt_spec = pl.BlockSpec((SUB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     cb_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole array, ~4 KB
+    fs_spec = pl.BlockSpec(
+        memory_space=pltpu.ANY if dma else pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
-        in_specs=[lst_spec, cnt_spec, cb_spec]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] + [spec] * 7,
+        in_specs=[lst_spec, cnt_spec, cb_spec, fs_spec] + [spec] * 7,
         out_specs=[spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
+        scratch_shapes=(
+            [pltpu.VMEM((Q * 8, CS), jnp.float32), pltpu.SemaphoreType.DMA]
+            if dma else []
+        ),
         interpret=jax.default_backend() == "cpu",
     )(lists, counts, cb, fs, *ins)
     flat_out = [a.reshape(-1)[:n] for a in outs]
