@@ -182,16 +182,21 @@ def test_bvh_tier_matches_oracle():
     np.testing.assert_allclose(em_k[m], np.asarray(ref.emit)[m], atol=1e-4)
 
 
-@pytest.mark.parametrize("tier", ["rows", "lists", "conds"])
-def test_wavefront_pallas_mesh_tier_matches_chunked(tier):
+@pytest.mark.parametrize("tier", ["rows", "rows_dma", "lists", "conds"])
+def test_wavefront_pallas_mesh_tier_matches_chunked(tier, monkeypatch):
     """intersect_soa's cluster-BVH Pallas tiers (visit-list default and the
     in-kernel cond walk) agree with the chunked brute-force stream across a
     multi-tile wavefront — including the t_cap pruning against primitive
-    hits (walls in front of / behind the ship)."""
+    hits (walls in front of / behind the ship). rows_dma = the rows kernel
+    with the HBM face buffer + per-visit DMA scratch forced on."""
     from mygpuraytracer_tpu.ops.trace import intersect_soa
     from mygpuraytracer_tpu.ops.vec3 import Vec3
     from mygpuraytracer_tpu.scene import load_scene
     from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+
+    if tier == "rows_dma":
+        monkeypatch.setenv("MYGPURT_ROWS_DMA", "1")
+        tier = "rows"
 
     scene = load_scene("scenes/cornellShip.txt")
     scene.set_resolution(8, 8)
