@@ -40,8 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--save-normal", action="store_true",
                    help="also save the first-hit normal AOV ([-1,1] -> [0,1])")
     p.add_argument("--quiet", action="store_true")
-    p.add_argument("--mesh-tier", choices=("lists", "rows", "conds"),
-                   default="lists",
+    p.add_argument("--mesh-tier",
+                   choices=("lists", "rows", "rows_dma", "conds"),
+                   default="rows",
                    help="Pallas mesh kernel variant (docs/MESH_TIERS.md)")
     p.add_argument("--mesh-sort", choices=("auto", "off", "need", "coherence"),
                    default="auto",

@@ -94,10 +94,14 @@ class RenderOptions:
     #     2026-08-17 shoot-out measured it fastest on every config
     #     (shipOnly 256^2 0.94 vs 0.61 Msam/s, 800^2 1.78 vs 0.69;
     #     textured ship 256^2 0.95 vs 0.57).
+    #   "rows_dma" — rows with the face buffer HBM-resident and one
+    #     cluster panel DMA'd into a VMEM scratch per visit (lifts the
+    #     VMEM mesh-size ceiling and enables the dynamic recheck on big
+    #     textured buffers; scripts/probe_rows_dma.py).
     #   "lists" — (8,128)-block visit-list kernel (vectorized XLA pre-pass
     #     builds per-block cluster lists; dynamic trip-count loop).
     #   "conds" — the round-2 in-kernel slab+cond walk.
-    # All three are image-equivalent (parity-tested).
+    # All tiers are image-equivalent (parity-tested).
     mesh_tier: str = "rows"
 
     @property

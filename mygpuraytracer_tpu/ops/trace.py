@@ -529,10 +529,11 @@ def intersect_soa(
             # visits per 128-ray row). "lists": (8,128)-block visit-list
             # kernel. "conds": the round-2 in-kernel slab+cond walk. All
             # three are image-equivalent (parity-tested).
-            if mesh_tier == "rows":
+            if mesh_tier in ("rows", "rows_dma"):
                 pall = lambda ov, dv, tcap: mesh_rows_hit(
                     meta, dev.face_shift, ov, dv, tcap,
                     with_uv=meta.has_textures, with_tb=with_bump,
+                    dma=True if mesh_tier == "rows_dma" else None,
                 )
             else:
                 tier_fn = mesh_list_hit if mesh_tier == "lists" else mesh_pallas_hit
@@ -954,7 +955,8 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
 
 
 def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
-                  with_uv: bool = False, with_tb: bool = False):
+                  with_uv: bool = False, with_tb: bool = False,
+                  dma: bool | None = None):
     """Row-granular shifted-face mesh tier (mesh_tier='rows').
 
     Same results as mesh_list_hit, two structural changes driven by
@@ -1007,11 +1009,12 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     # well under HBM bandwidth, and the mesh-size ceiling becomes HBM.
     # Default OFF until hardware-verified (parity holds in interpret mode;
     # flip the default to `fs.size * 4 >= 14 * 2**20` once the TPU probe
-    # passes — scripts/probe_scoped_vmem.py covers both unlock routes).
-    dma = False
-    env_dma = os.environ.get("MYGPURT_ROWS_DMA")
-    if env_dma is not None:
-        dma = env_dma == "1"
+    # passes — scripts/probe_rows_dma.py). Callers pin it via
+    # mesh_tier="rows_dma" (jit-cache safe); the env var is a debug override
+    # read at trace time only.
+    if dma is None:
+        env_dma = os.environ.get("MYGPURT_ROWS_DMA")
+        dma = env_dma == "1" if env_dma is not None else False
     # Dynamic near-to-far recheck (measured +13%/+26% on shipOnly 256^2/
     # 800^2): always on — the DMA path keeps the kernel's VMEM footprint
     # small enough for the lax.cond that implements the skip.

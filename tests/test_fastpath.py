@@ -183,7 +183,7 @@ def test_bvh_tier_matches_oracle():
 
 
 @pytest.mark.parametrize("tier", ["rows", "rows_dma", "lists", "conds"])
-def test_wavefront_pallas_mesh_tier_matches_chunked(tier, monkeypatch):
+def test_wavefront_pallas_mesh_tier_matches_chunked(tier):
     """intersect_soa's cluster-BVH Pallas tiers (visit-list default and the
     in-kernel cond walk) agree with the chunked brute-force stream across a
     multi-tile wavefront — including the t_cap pruning against primitive
@@ -194,9 +194,7 @@ def test_wavefront_pallas_mesh_tier_matches_chunked(tier, monkeypatch):
     from mygpuraytracer_tpu.scene import load_scene
     from mygpuraytracer_tpu.scene.device_scene import build_device_scene
 
-    if tier == "rows_dma":
-        monkeypatch.setenv("MYGPURT_ROWS_DMA", "1")
-        tier = "rows"
+    # "rows_dma" is a first-class tier name (jit-cache safe) — pass through.
 
     scene = load_scene("scenes/cornellShip.txt")
     scene.set_resolution(8, 8)
