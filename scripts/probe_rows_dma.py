@@ -56,17 +56,27 @@ def bench(tag, path, res, batch=4, secs=6.0, **opts):
 
 def main():
     sc = "scenes/shipTexOnly.txt"
-    # -- parity at 256^2 (recheck changes visit SKIPS only, so images must
-    #    agree bit-for-bit up to reduction order; report max abs diff).
-    base = render(sc, 256, 8, mesh_tier="rows")
+    # DMA path FIRST: the VMEM-resident baseline OOMs the 16 MiB scoped-vmem
+    # stack at 256^2 on the current toolchain (probe log 2026-08-17 21:51 —
+    # 18.00M operand vs 16.00M limit), so rows_dma is the only candidate
+    # production tier for the textured ship; measure it, then attempt the
+    # baseline for parity (tolerate its compile failure).
     dmai = render(sc, 256, 8, mesh_tier="rows_dma")
-    diff = float(np.abs(base - dmai).max())
-    print(f"parity 256^2 x8: max|diff| = {diff:.3e} "
-          f"(means {base.mean():.5f} / {dmai.mean():.5f})", flush=True)
-
-    # -- timing
+    print(f"rows_dma 256^2 x8: mean {dmai.mean():.5f}", flush=True)
     bench("T256 rows dma+recheck", sc, 256, mesh_tier="rows_dma")
     bench("T800 rows dma+recheck", sc, 800, batch=2, mesh_tier="rows_dma")
+    # Parity baseline = the lists tier (rows w/ VMEM-resident textured faces
+    # no longer compiles at ANY resolution — scripts/probe_compile_matrix.py
+    # 2026-08-17: the cb-operand commit regressed its scoped-vmem staging).
+    # Images are bit-identical across tiers by construction (same visits,
+    # same per-face math; only the visit partitioning differs).
+    try:
+        base = render(sc, 256, 8, mesh_tier="lists")
+        diff = float(np.abs(base - dmai).max())
+        print(f"parity vs lists 256^2 x8: max|diff| = {diff:.3e} "
+              f"(means {base.mean():.5f} / {dmai.mean():.5f})", flush=True)
+    except Exception as e:
+        print(f"lists parity baseline failed: {type(e).__name__}", flush=True)
     print("(reference on record: T256 rows 68.9 ms / 0.952 Msam/s, "
           "T800 rows 384.2 ms / 1.666 Msam/s — probe_tiers_r3 2026-08-17)",
           flush=True)
