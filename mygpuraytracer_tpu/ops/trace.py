@@ -1007,14 +1007,18 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     # each visit DMAs its cluster's (Q*8, CS) panel into a VMEM scratch
     # (~100 KB textured): re-read traffic is visits x panel ~ a few GB/s,
     # well under HBM bandwidth, and the mesh-size ceiling becomes HBM.
-    # Default OFF until hardware-verified (parity holds in interpret mode;
-    # flip the default to `fs.size * 4 >= 14 * 2**20` once the TPU probe
-    # passes — scripts/probe_rows_dma.py). Callers pin it via
+    # Hardware-verified 2026-08-17 (scripts/probe_rows_dma.py): bit-exact
+    # vs the lists tier, 0.52/0.70 Msam/s on the textured ship at 256/800^2.
+    # Auto default ON above the scoped-vmem threshold: the VMEM-resident
+    # textured kernel no longer compiles at ANY resolution on the current
+    # toolchain (scripts/probe_compile_matrix.py — 18.00M operand staging vs
+    # the bounce-cond's 16.00M stack). Callers pin it via
     # mesh_tier="rows_dma" (jit-cache safe); the env var is a debug override
     # read at trace time only.
     if dma is None:
         env_dma = os.environ.get("MYGPURT_ROWS_DMA")
-        dma = env_dma == "1" if env_dma is not None else False
+        dma = (env_dma == "1" if env_dma is not None
+               else fs.size * 4 >= 14 * 2**20)
     # Dynamic near-to-far recheck (measured +13%/+26% on shipOnly 256^2/
     # 800^2): always on — the DMA path keeps the kernel's VMEM footprint
     # small enough for the lax.cond that implements the skip.
