@@ -1050,6 +1050,17 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
         eps = 1e-20
         best = [tc[:, :], zeros, zeros, zeros, zeros - 1.0] + [zeros] * n_extra
 
+        Cl = lists.shape[1]
+
+        def _panel_copy(c, slot):
+            # One cluster panel HBM -> VMEM slot (double-buffered; the slot
+            # index is traced — Mosaic allows dynamic leading-dim refs).
+            return pltpu.make_async_copy(
+                fs_ref.at[:, pl.ds(c * CS, CS)],
+                fs_vmem.at[slot],
+                fs_sem.at[slot],
+            )
+
         for r in range(SUB):
             orx, ory, orz = ox[r : r + 1, :], oy[r : r + 1, :], oz[r : r + 1, :]
             drx, dry, drz = dx[r : r + 1, :], dy[r : r + 1, :], dz[r : r + 1, :]
@@ -1060,8 +1071,24 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
             def visit(i, best, r=r, orx=orx, ory=ory, orz=orz,
                       drx=drx, dry=dry, drz=drz, inx=inx, iny=iny, inz=inz):
                 c = lst_ref[r, i]
+                slot = None
+                if dma:
+                    # Pipeline: this visit's panel was issued by the row
+                    # prologue / the previous visit — wait for it, then
+                    # immediately issue the NEXT visit's panel into the
+                    # other slot so the copy rides under this visit's
+                    # 16 roll-steps (the synchronous start+wait stall
+                    # measured ~2x on the textured ship).
+                    slot = lax.rem(i, 2)
+                    _panel_copy(c, slot).wait()
+                    nxt = lst_ref[r, jnp.minimum(i + 1, Cl - 1)]
+
+                    @pl.when(i + 1 < cnt_ref[r, 0])
+                    def _():
+                        _panel_copy(nxt, lax.rem(i + 1, 2)).start()
+
                 if not recheck:
-                    return _visit_stream(c, best)
+                    return _visit_stream(c, best, slot=slot)
                 # Dynamic near-to-far prune: the list holds clusters ordered
                 # by entry distance against the INITIAL t-cap; earlier
                 # (nearer) visits shrink the row's best-t, so recheck the
@@ -1083,23 +1110,19 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
                 alive = (tout >= jnp.maximum(tin, 0.0)) & (tin < row_best)
                 return lax.cond(
                     jnp.any(alive),
-                    lambda b: _visit_stream(c, b),
+                    lambda b: _visit_stream(c, b, slot=slot),
                     lambda b: b,
                     tuple(best),
                 )
 
-            def _visit_stream(c, best, r=r, orx=orx, ory=ory, orz=orz,
-                              drx=drx, dry=dry, drz=drz):
+            def _visit_stream(c, best, slot=None, r=r, orx=orx, ory=ory,
+                              orz=orz, drx=drx, dry=dry, drz=drz):
                 best = list(best)
                 sl_c = pl.ds(c * CS, CS)
                 if dma:
-                    cp = pltpu.make_async_copy(
-                        fs_ref.at[:, sl_c], fs_vmem, fs_sem
-                    )
-                    cp.start()
-                    cp.wait()
+                    # Panel already resident (waited in visit()).
                     blks = tuple(
-                        fs_vmem[q * 8 : (q + 1) * 8, :] for q in range(Q)
+                        fs_vmem[slot, q * 8 : (q + 1) * 8, :] for q in range(Q)
                     )
                 else:
                     blks = tuple(
@@ -1162,6 +1185,12 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
                     best[1 + j] = jnp.where(upd, pattr[j], best[1 + j])
                 return tuple(best)
 
+            if dma:
+                # Row prologue: issue visit 0's panel into slot 0.
+                @pl.when(cnt_ref[r, 0] > 0)
+                def _(r=r):
+                    _panel_copy(lst_ref[r, 0], 0).start()
+
             best = lax.fori_loop(0, cnt_ref[r, 0], visit, tuple(best))
 
         bt, bg = best[0], best[4]
@@ -1183,7 +1212,8 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
         out_specs=[spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((rows, L), jnp.float32)] * n_out,
         scratch_shapes=(
-            [pltpu.VMEM((Q * 8, CS), jnp.float32), pltpu.SemaphoreType.DMA]
+            [pltpu.VMEM((2, Q * 8, CS), jnp.float32),
+             pltpu.SemaphoreType.DMA((2,))]
             if dma else []
         ),
         interpret=jax.default_backend() == "cpu",
