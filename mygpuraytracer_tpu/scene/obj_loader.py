@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 
 import numpy as np
 
@@ -127,6 +128,13 @@ def _load_tex(name: str, search_dirs: list[str]) -> Texture:
             return Texture(
                 width=arr.shape[1], height=arr.shape[0], channels=arr.shape[2], image=arr
             )
+    # Loud fallback: a silently-untextured mesh renders (and BENCHMARKS!)
+    # like an untextured one — this exact trap produced bogus round-3
+    # "textured ship" numbers when the gitignored procedural textures were
+    # absent from a fresh checkout (docs/MESH_TIERS.md).
+    print(f"warning: texture map '{name}' not found "
+          f"(searched {len(candidates)} paths) — using empty texture",
+          file=sys.stderr)
     return Texture()
 
 
