@@ -534,6 +534,7 @@ def intersect_soa(
                     meta, dev.face_shift, ov, dv, tcap,
                     with_uv=meta.has_textures, with_tb=with_bump,
                     dma=True if mesh_tier == "rows_dma" else None,
+                    ex=dev.face_plane_ex,
                 )
             else:
                 tier_fn = mesh_list_hit if mesh_tier == "lists" else mesh_pallas_hit
@@ -956,7 +957,7 @@ def mesh_list_hit(meta, fp, o: Vec3, d: Vec3, t_cap,
 
 def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
                   with_uv: bool = False, with_tb: bool = False,
-                  dma: bool | None = None):
+                  dma: bool | None = None, ex=None):
     """Row-granular shifted-face mesh tier (mesh_tier='rows').
 
     Same results as mesh_list_hit, two structural changes driven by
@@ -973,6 +974,14 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     A visit streams into a per-(shift, ray) partial best; a 3-round
     circular sublane min-reduce (rolls, no cumsum — Mosaic has no cumsum
     lowering) selects the winner and its attributes into the row's slot.
+
+    Textured/bumped meshes DEFER the uv/TBN fetch: the kernel streams only
+    the 13 intersection quantities and carries the winner's barycentrics +
+    face index; uv texcoords and the TBN frame are then computed outside
+    the kernel with ONE [16, Fp]-by-winner gather from ``ex``
+    (dev.face_plane_ex). This keeps the streamed buffer at untextured size
+    (the 25-quantity variant cost ~1.9x in roll-steps AND no longer fits
+    the bounce-cond's 16 MiB scoped-vmem stack as a VMEM operand).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -984,9 +993,10 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     rows = n_pad // L
     CS = meta.cluster_size
     C = len(meta.mesh_clusters)
-    n_extra = (2 if with_uv else 0) + (6 if with_tb else 0)
-    n_attr = 4 + n_extra  # fn xyz, gid, then uv/tb extras
-    Q = 13 + (12 if (with_uv or with_tb) else 0)
+    defer = with_uv or with_tb
+    n_extra = 3 if defer else 0  # u, v, face-id carried for the late fetch
+    n_attr = 4 + n_extra  # fn xyz, gid (+ u, v, fid)
+    Q = 13
     n_out = 5 + n_extra
 
     def pad1d(a, fill):
@@ -1049,6 +1059,13 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
         rowi = lax.broadcasted_iota(jnp.int32, (SUB, L), 0)
         eps = 1e-20
         best = [tc[:, :], zeros, zeros, zeros, zeros - 1.0] + [zeros] * n_extra
+        if defer:
+            # Within-cluster face index at roll-step 0: sublane s, lane l
+            # holds face (l + SHIFT*s) % CS (DeviceScene.face_shift layout);
+            # step k adds k with one wrap.
+            lane = lax.broadcasted_iota(jnp.int32, (SUB, L), 1)
+            bsum = lane + (CS // SUB) * rowi
+            bmod = jnp.where(bsum >= CS, bsum - CS, bsum).astype(jnp.float32)
 
         Cl = lists.shape[1]
 
@@ -1153,14 +1170,13 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
                         & (t > HIT_EPS) & (t < pt)
                     )
                     new_vals = [fnx, fny, fnz, gid]
-                    if with_uv:
-                        new_vals += [
-                            B[13] + u * B[15] + v * B[17],
-                            B[14] + u * B[16] + v * B[18],
-                        ]
-                    if with_tb:
-                        tb0 = 19 if with_uv else 13
-                        new_vals += [B[tb0 + j] for j in range(6)]
+                    if defer:
+                        idxk = bmod + k.astype(jnp.float32)
+                        wrapped = jnp.where(
+                            idxk >= jnp.float32(CS), idxk - jnp.float32(CS), idxk
+                        )
+                        fid = (c * CS).astype(jnp.float32) + wrapped
+                        new_vals += [u, v, fid]
                     pt = jnp.where(ok, t, pt)
                     pattr = tuple(
                         jnp.where(ok, nv, pa) for nv, pa in zip(new_vals, pattr)
@@ -1220,7 +1236,24 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     )(lists, counts, cb, fs, *ins)
     flat_out = [a.reshape(-1)[:n] for a in outs]
     mt, fx, fy, fz, gf = flat_out[:5]
-    return mt, Vec3(fx, fy, fz), gf, tuple(flat_out[5:])
+    if not defer:
+        return mt, Vec3(fx, fy, fz), gf, ()
+    # Deferred uv/TBN fetch: one [16, Fp] gather on the winners' face ids
+    # (non-winners carry fid 0 — garbage values, masked by the caller's
+    # `better` merge). face_plane_ex rows 0-5 are (uv0, duv1, duv2);
+    # rows 8-13 the unit tangent/bitangent.
+    u_b, v_b, fidf = flat_out[5:8]
+    fid = jnp.clip(fidf.astype(jnp.int32), 0, ex.shape[1] - 1)
+    cols = jnp.take(ex, fid, axis=1)  # (16, N)
+    extras = []
+    if with_uv:
+        extras += [
+            cols[0] + u_b * cols[2] + v_b * cols[4],
+            cols[1] + u_b * cols[3] + v_b * cols[5],
+        ]
+    if with_tb:
+        extras += [cols[8 + j] for j in range(6)]
+    return mt, Vec3(fx, fy, fz), gf, tuple(extras)
 
 
 def bvh_scene_hit(meta, fp_ref, o: Vec3, d: Vec3) -> HitSoA:

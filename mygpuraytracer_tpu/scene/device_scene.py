@@ -94,11 +94,12 @@ class DeviceScene(NamedTuple):
     # (c*128 + (l + 16*s) % 128) — so one (8,128) block of quantity q holds
     # 8 lane-shifted copies of a cluster's faces and a visit covers all
     # (ray, face) pairs for a 128-ray row in 16 roll-steps instead of 128.
-    # Quantity order: the 13 plane rows (fn3 c U3 cu V3 cv gid), then uv
-    # rows 0-5 of face_plane_ex, then tangent/bitangent rows 8-13 (texture
-    # rows only present when the scene has textures/bump).
+    # Quantity order: the 13 plane rows (fn3 c U3 cu V3 cv gid). uv/TBN are
+    # NOT streamed: the rows tier defers them to a post-kernel gather from
+    # face_plane_ex on the winners (ops/trace.py mesh_rows_hit), keeping
+    # the streamed buffer at untextured size.
     # [1, 1] placeholder when the scene has no clusters.
-    face_shift: jnp.ndarray  # f32[Q*8, Fp] (or [1, 1])
+    face_shift: jnp.ndarray  # f32[104, Fp] (or [1, 1])
 
     # Materials [M]
     mat_color: jnp.ndarray  # f32[M,3]
@@ -397,10 +398,10 @@ def build_device_scene(
     # Sublane-shifted layout for the row-granular tier (see DeviceScene).
     face_shift = np.zeros((1, 1), np.float32)
     if num_faces > 0 and len(mesh_cluster_bounds) > 0:
+        # 13 intersection quantities only: the rows tier DEFERS uv/TBN to a
+        # post-kernel gather from face_plane_ex (ops/trace.py mesh_rows_hit),
+        # so the streamed buffer stays at untextured size.
         q_rows = [face_plane[q] for q in range(13)]
-        if has_textures:
-            q_rows += [face_plane_ex[q] for q in range(6)]  # uv interp
-            q_rows += [face_plane_ex[q] for q in range(8, 14)]  # T/B
         SHIFT = CLUSTER_SIZE // 8
         face_shift = np.zeros((len(q_rows) * 8, Fp), np.float32)
         n_clus_p = Fp // CLUSTER_SIZE
