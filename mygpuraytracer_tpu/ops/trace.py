@@ -534,7 +534,7 @@ def intersect_soa(
                     meta, dev.face_shift, ov, dv, tcap,
                     with_uv=meta.has_textures, with_tb=with_bump,
                     dma=True if mesh_tier == "rows_dma" else None,
-                    ex=dev.face_plane_ex,
+                    ex=dev.face_ex_t,
                 )
             else:
                 tier_fn = mesh_list_hit if mesh_tier == "lists" else mesh_pallas_hit
@@ -614,7 +614,7 @@ def intersect_soa(
             # load from world e1/e2 + uv deltas) carried by both mesh tiers.
             tangent = Vec3(bex[0], bex[1], bex[2])
             bitangent = Vec3(bex[3], bex[4], bex[5])
-            texel, present = fetch_texel_soa(dev, bump, uu, vv)
+            texel, present = fetch_texel_soa(dev, meta, bump, uu, vv)
             tsn = v3.normalize(v3.normalize(texel) * 2.0 - 1.0)
             bumped = v3.normalize(
                 Vec3(
@@ -968,7 +968,7 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     - the face buffer is the sublane-shifted layout (DeviceScene.face_shift):
       one (8,128) block of a quantity holds 8 lane-shifted copies of a
       cluster's faces, so sublane s, lane l tests ray l against face
-      (l + 16s + k) % 128 at step k — a visit covers all (ray, face) pairs
+      (l + 16s - k) % 128 at step k — a visit covers all (ray, face) pairs
       in CS/8 = 16 roll-steps instead of CS.
 
     A visit streams into a per-(shift, ray) partial best; a 3-round
@@ -978,8 +978,8 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     Textured/bumped meshes DEFER the uv/TBN fetch: the kernel streams only
     the 13 intersection quantities and carries the winner's barycentrics +
     face index; uv texcoords and the TBN frame are then computed outside
-    the kernel with ONE [16, Fp]-by-winner gather from ``ex``
-    (dev.face_plane_ex). This keeps the streamed buffer at untextured size
+    the kernel with ONE row-major [Fp, 16]-by-winner gather from ``ex``
+    (dev.face_ex_t). This keeps the streamed buffer at untextured size
     (the 25-quantity variant cost ~1.9x in roll-steps AND no longer fits
     the bounce-cond's 16 MiB scoped-vmem stack as a VMEM operand).
     """
@@ -1062,7 +1062,7 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
         if defer:
             # Within-cluster face index at roll-step 0: sublane s, lane l
             # holds face (l + SHIFT*s) % CS (DeviceScene.face_shift layout);
-            # step k adds k with one wrap.
+            # step k subtracts k with one wrap (right-rolls).
             lane = lax.broadcasted_iota(jnp.int32, (SUB, L), 1)
             bsum = lane + (CS // SUB) * rowi
             bmod = jnp.where(bsum >= CS, bsum - CS, bsum).astype(jnp.float32)
@@ -1171,10 +1171,11 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
                     )
                     new_vals = [fnx, fny, fnz, gid]
                     if defer:
-                        idxk = bmod + k.astype(jnp.float32)
-                        wrapped = jnp.where(
-                            idxk >= jnp.float32(CS), idxk - jnp.float32(CS), idxk
-                        )
+                        # pltpu.roll(x, 1, 1) shifts lanes RIGHT (jnp.roll
+                        # semantics): after k rolls lane l holds face
+                        # (l + SHIFT*s - k) % CS of the cluster.
+                        idxk = bmod - k.astype(jnp.float32)
+                        wrapped = jnp.where(idxk < 0.0, idxk + jnp.float32(CS), idxk)
                         fid = (c * CS).astype(jnp.float32) + wrapped
                         new_vals += [u, v, fid]
                     pt = jnp.where(ok, t, pt)
@@ -1238,21 +1239,23 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     mt, fx, fy, fz, gf = flat_out[:5]
     if not defer:
         return mt, Vec3(fx, fy, fz), gf, ()
-    # Deferred uv/TBN fetch: one [16, Fp] gather on the winners' face ids
-    # (non-winners carry fid 0 — garbage values, masked by the caller's
-    # `better` merge). face_plane_ex rows 0-5 are (uv0, duv1, duv2);
-    # rows 8-13 the unit tangent/bitangent.
+    # Deferred uv/TBN fetch: one row-major [Fp, 16] gather on the winners'
+    # face ids (non-winners carry fid 0 — garbage values, masked by the
+    # caller's `better` merge). Columns 0-5 are (uv0, duv1, duv2);
+    # columns 8-13 the unit tangent/bitangent. Row gathers measured ~2x
+    # faster than column gathers of the same table (32.4 vs 68.6 ms at
+    # 640k indices) — and this runs every bounce.
     u_b, v_b, fidf = flat_out[5:8]
-    fid = jnp.clip(fidf.astype(jnp.int32), 0, ex.shape[1] - 1)
-    cols = jnp.take(ex, fid, axis=1)  # (16, N)
+    fid = jnp.clip(fidf.astype(jnp.int32), 0, ex.shape[0] - 1)
+    cols = jnp.take(ex, fid, axis=0)  # (N, 16)
     extras = []
     if with_uv:
         extras += [
-            cols[0] + u_b * cols[2] + v_b * cols[4],
-            cols[1] + u_b * cols[3] + v_b * cols[5],
+            cols[:, 0] + u_b * cols[:, 2] + v_b * cols[:, 4],
+            cols[:, 1] + u_b * cols[:, 3] + v_b * cols[:, 5],
         ]
     if with_tb:
-        extras += [cols[8 + j] for j in range(6)]
+        extras += [cols[:, 8 + j] for j in range(6)]
     return mt, Vec3(fx, fy, fz), gf, tuple(extras)
 
 
@@ -1285,10 +1288,25 @@ def bvh_scene_hit(meta, fp_ref, o: Vec3, d: Vec3) -> HitSoA:
     )
 
 
-def fetch_texel_soa(dev, tex_id, u, v):
-    """Nearest texel fetch (gather path — textured OBJ scenes only)."""
-    meta = dev.tex_meta[tex_id]  # [N,4] gather
-    off, w, h, ch = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
+def fetch_texel_soa(dev, meta, tex_id, u, v):
+    """Nearest texel fetch (textured OBJ scenes only).
+
+    Slot metadata resolves through a literal select chain over the static
+    atlas table (meta.tex_table) instead of a per-lane [N,4] gather: the
+    table has a handful of slots, and at 800^2 x 8 bounces x 4 maps the
+    meta gathers alone cost hundreds of ms on TPU. Only the texel row
+    gather ([N] rows of the 4-channel atlas) remains.
+    """
+    zi = jnp.zeros_like(tex_id, jnp.int32)
+    off, w, h, ch = zi, zi, zi, zi
+    for t, (o_, w_, h_, c_) in enumerate(meta.tex_table):
+        if t == 0 or c_ == 0:
+            continue  # slot 0 / absent maps keep the zero defaults
+        sel = jnp.abs(tex_id - t) < 0.5
+        off = jnp.where(sel, o_, off)
+        w = jnp.where(sel, w_, w)
+        h = jnp.where(sel, h_, h)
+        ch = jnp.where(sel, c_, ch)
     cu = jnp.clip((u * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
     cv = jnp.clip((v * h).astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
     pix = off + cv * w + cu

@@ -141,9 +141,9 @@ def shade_soa(
     diffuse_dir = cosine_hemisphere_soa(nrm, u1, u2)
     zero = jnp.zeros_like(u1)
     if meta.has_textures:
-        ke_texel, _ = fetch_texel_soa(dev, hit.ke, hit.u, hit.v)
-        kd_texel, kd_present = fetch_texel_soa(dev, hit.kd, hit.u, hit.v)
-        ks_texel, ks_present = fetch_texel_soa(dev, hit.ks, hit.u, hit.v)
+        ke_texel, _ = fetch_texel_soa(dev, meta, hit.ke, hit.u, hit.v)
+        kd_texel, kd_present = fetch_texel_soa(dev, meta, hit.kd, hit.u, hit.v)
+        ks_texel, ks_present = fetch_texel_soa(dev, meta, hit.ks, hit.u, hit.v)
         obj_emissive = (
             (ke_texel.x > FLT_EPSILON) | (ke_texel.y > FLT_EPSILON) | (ke_texel.z > FLT_EPSILON)
         )
@@ -227,8 +227,8 @@ def albedo_soa(meta, dev, hit: HitSoA) -> Vec3:
     """First-hit albedo for the denoiser (pathtrace.cu:412-459)."""
     zero = jnp.zeros_like(hit.t)
     if meta.has_textures:
-        ke_texel, _ = fetch_texel_soa(dev, hit.ke, hit.u, hit.v)
-        kd_texel, kd_present = fetch_texel_soa(dev, hit.kd, hit.u, hit.v)
+        ke_texel, _ = fetch_texel_soa(dev, meta, hit.ke, hit.u, hit.v)
+        kd_texel, kd_present = fetch_texel_soa(dev, meta, hit.kd, hit.u, hit.v)
         obj_emissive = (
             (ke_texel.x > FLT_EPSILON) | (ke_texel.y > FLT_EPSILON) | (ke_texel.z > FLT_EPSILON)
         )

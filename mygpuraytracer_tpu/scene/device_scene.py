@@ -89,6 +89,10 @@ class DeviceScene(NamedTuple):
     # tangent/bitangent xyz. [16, 1] placeholder when the scene is untextured
     # so the plain kernel's operands stay unchanged.
     face_plane_ex: jnp.ndarray  # f32[16, Fp] (or [16, 1])
+    # Transposed copy for the rows tier's deferred winner gather: row-major
+    # (Fp, 16) rows gather ~2x faster than (16, Fp) columns on TPU
+    # (measured 32.4 vs 68.6 ms at 640k indices).
+    face_ex_t: jnp.ndarray  # f32[Fp, 16] (or [1, 16])
     # Sublane-shifted face quantities for the row-granular mesh tier
     # (mesh_tier='rows'): row q*8+s, lane c*128+l = quantity q of face
     # (c*128 + (l + 16*s) % 128) — so one (8,128) block of quantity q holds
@@ -111,7 +115,7 @@ class DeviceScene(NamedTuple):
     mat_emittance: jnp.ndarray  # f32[M]
 
     # Texture atlas
-    tex_atlas: jnp.ndarray  # f32[P,3] (values already /255)
+    tex_atlas: jnp.ndarray  # f32[P,4] (rgb + pad; values already /255)
     tex_meta: jnp.ndarray  # i32[T,4] (offset, width, height, channels)
 
     camera: CameraParams
@@ -227,6 +231,11 @@ class SceneMeta:
     # in. Cluster c owns faces [c*cluster_size, (c+1)*cluster_size).
     mesh_clusters: tuple = ()
     cluster_size: int = CLUSTER_SIZE
+    # Static copy of the texture atlas table: per slot (offset, width,
+    # height, channels). Texel fetches resolve slot metadata with a short
+    # literal select chain instead of a per-lane [N,4] gather — at 800^2 x
+    # 8 bounces x 4 maps those meta gathers alone cost hundreds of ms.
+    tex_table: tuple = ()
 
 
 def _pad_to(n: int, multiple: int) -> int:
@@ -259,7 +268,9 @@ def build_device_scene(
     inv_transpose = np.stack([g.inv_transpose for g in geoms]).astype(np.float32)
 
     # --- Textures -> atlas -------------------------------------------------
-    atlas_chunks: list[np.ndarray] = [np.zeros((1, 3), np.float32)]  # null texel
+    # 4-channel rows (rgb + pad): 16-byte-aligned row gathers are cheaper
+    # than 12-byte ones, and the texel fetch is a per-bounce [N]-row gather.
+    atlas_chunks: list[np.ndarray] = [np.zeros((1, 4), np.float32)]  # null texel
     tex_meta: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)]  # slot 0 = none
     offset = 1
 
@@ -270,7 +281,9 @@ def build_device_scene(
         img = tex.image
         if img.shape[-1] < 3:
             img = np.repeat(img[..., :1], 3, axis=-1)
-        flat = (img[..., :3].reshape(-1, 3).astype(np.float32)) / 255.0
+        flat3 = (img[..., :3].reshape(-1, 3).astype(np.float32)) / 255.0
+        flat = np.zeros((flat3.shape[0], 4), np.float32)
+        flat[:, :3] = flat3
         atlas_chunks.append(flat)
         tex_meta.append((offset, tex.width, tex.height, tex.channels))
         offset += flat.shape[0]
@@ -484,6 +497,7 @@ def build_device_scene(
         ),
         face_plane=jnp.asarray(face_plane),
         face_plane_ex=jnp.asarray(face_plane_ex),
+        face_ex_t=jnp.asarray(np.ascontiguousarray(face_plane_ex.T)),
         face_shift=jnp.asarray(face_shift),
         mat_color=jnp.asarray(mat_color),
         mat_spec_color=jnp.asarray(mat_spec_color),
@@ -567,5 +581,6 @@ def build_device_scene(
         mega_faces=mega_faces,
         mesh_clusters=mesh_cluster_bounds,
         cluster_size=CLUSTER_SIZE,
+        tex_table=tuple(tex_meta),
     )
     return dev, meta
