@@ -233,7 +233,7 @@ def validate(cfg: TrainConfig, params, valid_ds: ValidationDataset, eval_fn,
     return total / max(count, 1)
 
 
-def build_epoch_fn(cfg: TrainConfig, optimizer, x_imgs, y_imgs):
+def build_epoch_fn(cfg: TrainConfig, optimizer):
     """Device-resident data pipeline: random pose pick, random crop, 8-way
     dihedral augmentation, preprocess, grads and updates for a WHOLE epoch
     run as one jitted program (lax.scan over steps).
@@ -241,11 +241,17 @@ def build_epoch_fn(cfg: TrainConfig, optimizer, x_imgs, y_imgs):
     Built for links where every host dispatch costs ~25 ms (the reference's
     DataLoader+DDP feeds each step from host workers, training/train.py:162;
     here the dataset lives in HBM and the host only dispatches epochs).
+
+    The dataset is an ARGUMENT of the jitted function, not a closure: a
+    closed-over multi-GB stack gets embedded in the lowered program as a
+    constant, and shipping that through the axon remote-compile HTTP
+    request breaks the tunnel (broken pipe at epoch 0 — observed on the
+    round-3 slot stacks; round 2's smaller stacks squeaked under the
+    limit). As arguments they upload once through the normal buffer path.
     """
     loss_fn = get_loss_function(cfg.loss)
     compute_dtype = jnp.bfloat16 if cfg.precision == "mixed" else jnp.float32
     preprocess = make_preprocess(cfg)
-    P, H, W, Cx = x_imgs.shape
     T = cfg.tile_size
 
     def sample_tile(imgs, p, i, j):
@@ -257,7 +263,8 @@ def build_epoch_fn(cfg: TrainConfig, optimizer, x_imgs, y_imgs):
         img = jnp.where(fy, img[::-1], img)
         return jnp.where(ft, jnp.swapaxes(img, 0, 1), img)
 
-    def make_batch(key):
+    def make_batch(key, x_imgs, y_imgs):
+        P, H, W, _ = x_imgs.shape
         kp, ki, kj, kf = jax.random.split(key, 4)
         B = cfg.batch_size
         p = jax.random.randint(kp, (B,), 0, P)
@@ -276,10 +283,10 @@ def build_epoch_fn(cfg: TrainConfig, optimizer, x_imgs, y_imgs):
         return loss_fn(pred, y)
 
     @jax.jit
-    def epoch_fn(params, opt_state, key):
+    def epoch_fn(params, opt_state, key, x_imgs, y_imgs):
         def step(carry, k):
             params, opt_state = carry
-            x, y = make_batch(k)
+            x, y = make_batch(k, x_imgs, y_imgs)
             loss, grads = jax.value_and_grad(loss_value)(params, x, y)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -330,7 +337,7 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
         # fine-tune warm start: previous round's params, fresh optimizer
         params = load_init_params(cfg.init_from)
 
-    epoch_fn = build_epoch_fn(cfg, optimizer, x_imgs, y_imgs)
+    epoch_fn = build_epoch_fn(cfg, optimizer)
 
     valid_dir = cfg.valid_dir or os.path.join(cfg.data_dir, "valid")
     valid_ds, eval_fn = None, None
@@ -350,7 +357,7 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         params, opt_state, mean_loss = epoch_fn(
-            params, opt_state, jrandom.fold_in(base_key, epoch)
+            params, opt_state, jrandom.fold_in(base_key, epoch), x_imgs, y_imgs
         )
         step += cfg.steps_per_epoch
         # Divergence guard: HDR loss surfaces can blow up past the OneCycle
