@@ -354,6 +354,8 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
 
     step = start_epoch * cfg.steps_per_epoch
     first_loss = None
+    best_valid, best_params, stale = np.inf, None, 0
+    PATIENCE = 8  # valid checks without improvement before early stop
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         params, opt_state, mean_loss = epoch_fn(
@@ -392,13 +394,35 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
         if valid_ds is not None and (
             (epoch + 1) % cfg.valid_epochs == 0 or epoch + 1 == cfg.num_epochs
         ):
-            rec["valid_loss"] = validate(cfg, params, valid_ds, eval_fn)
+            vl = validate(cfg, params, valid_ds, eval_fn)
+            rec["valid_loss"] = vl
+            # Best-valid selection + early stop: fine-tune runs (warm-started
+            # from already-good weights) can overfit monotonically — round-3
+            # rt_ldr_alb's valid loss DOUBLED from epoch 120 to 840 while
+            # train loss fell. Exporting the final params would regress the
+            # shipped weights, so keep the best-valid params (mirrors the
+            # reference's keep-best eval loop, training/train.py:228-269)
+            # and stop after `patience` checks without improvement.
+            if np.isfinite(vl) and vl < best_valid:
+                best_valid, best_params, stale = vl, params, 0
+            else:
+                stale += 1
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if log_fn:
             log_fn(rec)
         if (epoch + 1) % cfg.save_epochs == 0 or epoch + 1 == cfg.num_epochs:
             save_checkpoint(cfg.result_dir, epoch + 1, step, params, opt_state, cfg)
+        if stale >= PATIENCE:
+            msg = {"epoch": epoch + 1, "early_stop": True, "loss": loss_val,
+                   "best_valid": best_valid}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(msg) + "\n")
+            if log_fn:
+                log_fn(msg)
+            break
+    if best_params is not None:
+        return best_params
     return params
 
 
