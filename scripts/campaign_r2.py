@@ -176,12 +176,17 @@ def stage_train(slots, epochs):
             **slot_cfg_fields(slot),
         )
         last = {}
+        # .get defaults: control records (early_stop / diverged) don't carry
+        # the per-epoch keys — a KeyError here killed a whole campaign run.
         params = train_device(cfg, x, y, log_fn=lambda r: (
             last.update(r),
-            print(f"[{slot}] epoch {r['epoch']} loss {r['loss']:.4f}"
+            print(f"[{slot}] epoch {r['epoch']} loss {r.get('loss', 0.0):.4f}"
                   + (f" valid {r['valid_loss']:.4f}" if 'valid_loss' in r else "")
-                  + f" ({r['images_per_sec']:.0f} img/s)", flush=True)
-            if r["epoch"] % 50 == 0 or "valid_loss" in r else None,
+                  + (" EARLY-STOP" if r.get("early_stop") else "")
+                  + (" DIVERGED" if r.get("diverged") else "")
+                  + f" ({r.get('images_per_sec', 0.0):.0f} img/s)", flush=True)
+            if r["epoch"] % 50 == 0 or "valid_loss" in r
+            or "early_stop" in r or "diverged" in r else None,
         ))
         os.makedirs(WEIGHTS_DIR, exist_ok=True)
         out_tza = os.path.join(WEIGHTS_DIR, f"{slot}.tza")
