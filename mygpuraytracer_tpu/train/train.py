@@ -354,7 +354,17 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
 
     step = start_epoch * cfg.steps_per_epoch
     first_loss = None
+    # Best-valid state persists in result_dir/best.pkl so resumed runs
+    # (crash retries, early-stopped slots re-entered by a campaign loop)
+    # never re-export worse-than-best params: a resume that runs zero
+    # epochs would otherwise return the final checkpoint.
+    best_path = os.path.join(cfg.result_dir, "best.pkl")
     best_valid, best_params, stale = np.inf, None, 0
+    if os.path.exists(best_path):
+        with open(best_path, "rb") as f:
+            _prev = pickle.load(f)
+        best_valid = _prev.get("valid_loss", np.inf)
+        best_params = _prev.get("params")
     PATIENCE = 8  # valid checks without improvement before early stop
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
@@ -405,6 +415,9 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
             # and stop after `patience` checks without improvement.
             if np.isfinite(vl) and vl < best_valid:
                 best_valid, best_params, stale = vl, params, 0
+                with open(best_path, "wb") as f:
+                    pickle.dump({"params": jax.device_get(params),
+                                 "valid_loss": vl, "epoch": epoch + 1}, f)
             else:
                 stale += 1
         with open(log_path, "a") as f:
