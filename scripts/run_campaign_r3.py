@@ -39,7 +39,13 @@ if __name__ == "__main__":
     t0 = time.time()
     c.stage_prep()
     print(f"prep done ({time.time()-t0:.0f}s)", flush=True)
+    import os
+
     for slot in slots:
+        done_flag = os.path.join(c.RESULTS_DIR, slot, "DONE")
+        if os.path.exists(done_flag):
+            print(f"### {slot} already done; skipping", flush=True)
+            continue
         t1 = time.time()
         c.stage_train([slot], override or PRIORITY[slot])
         print(f"### {slot} trained+exported ({time.time()-t1:.0f}s)", flush=True)
@@ -47,4 +53,9 @@ if __name__ == "__main__":
             c.stage_eval([slot])
         except Exception as e:  # eval must never kill the training queue
             print(f"eval failed: {e}", flush=True)
+        # Sentinel AFTER export+eval: crash-retry re-runs an unfinished slot
+        # (train_device resumes from its checkpoints / best.pkl), but a
+        # finished slot is never reloaded or re-exported.
+        with open(done_flag, "w") as f:
+            f.write("exported+evaled\n")
     print(f"CAMPAIGN DONE ({time.time()-t0:.0f}s)", flush=True)
