@@ -40,14 +40,22 @@ from mygpuraytracer_tpu.scene import load_scene
 
 RES_BENCH = 800
 TILE = 384
-CLEAN_SPP_BENCH = 1024  # matches the bench's own ground-truth spp
+# 16384 spp: a 1024-spp "clean" carries 0.042 display-RMSE of residual MC
+# noise (sigma_16 = 0.333 measured from paired realizations) — the net
+# learns it and every eval row floors on it. 16384 drops the floor to
+# ~0.010 at ~70-115 s/pose on the megakernel tier. Poses already on disk
+# keep their old cleans until scripts/upgrade_cleans_r3.py rewrites them.
+CLEAN_SPP_BENCH = 16384
 EXTRA_NOISY = 2
 
 R3B_SCENES = [
+    # pose counts extended 6->10 / 4->6 for round 3's bench-scale push;
+    # _ring_poses draws sequentially, so c0..c5 / c0..c3 are prefix-stable
+    # and the skip logic keeps the already-rendered masters valid.
     ("cornell800", f"{REF}/cornell.txt",
-     [None] + _ring_poses(5, 90), _ring_poses(2, 91)),
+     [None] + _ring_poses(9, 90), _ring_poses(2, 91)),
     ("glass800", f"{REF}/cornellGlass.txt",
-     [None] + _ring_poses(3, 92), _ring_poses(1, 93)),
+     [None] + _ring_poses(5, 92), _ring_poses(1, 93)),
 ]
 
 
@@ -74,12 +82,14 @@ def save_tiled(out_dir, stem, noisy, clean):
     tiled = {k: dict(_tiles(v)) for k, v in planes.items()}
     for t in range(4):
         np.savez(os.path.join(out_dir, f"{stem}t{t}.master.npz"),
+                 clean_spp=np.int32(CLEAN_SPP_BENCH),
                  **{k: v[t] for k, v in tiled.items()})
 
 
 def save_full(out_dir, stem, noisy, clean):
     os.makedirs(out_dir, exist_ok=True)
     np.savez(os.path.join(out_dir, f"{stem}.master.npz"),
+             clean_spp=np.int32(CLEAN_SPP_BENCH),
              **{f"noisy_{k}": v for k, v in noisy.items()},
              **{f"clean_{k}": v for k, v in clean.items()})
 
@@ -152,3 +162,4 @@ def _untile(tiles):
 
 if __name__ == "__main__":
     main()
+    print("ALLDONE", flush=True)

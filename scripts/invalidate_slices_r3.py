@@ -1,0 +1,23 @@
+"""Delete slot slices derived from the cornell*/glass* masters so
+campaign prep re-slices them from the upgraded (16384-spp-clean) pool.
+
+stage_prep skips any stem whose .target.npy exists — after
+scripts/upgrade_cleans_r3.py rewrites the masters in place, the slices
+are stale until deleted. sphere/shipTex/cottage slices are untouched
+(their masters were not upgraded).
+"""
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+n = 0
+for pat in ("data/slots_r3/*/cornell*.npy", "data/slots_r3/*/glass*.npy",
+            "data/slots_r3/*/valid/cornell*.npy",
+            "data/slots_r3/*/valid/glass*.npy"):
+    for p in glob.glob(pat):
+        os.remove(p)
+        n += 1
+print(f"removed {n} stale slices", flush=True)
