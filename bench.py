@@ -7,8 +7,8 @@ Covers all five BASELINE.md configs plus the denoiser metrics:
     Msamples/sec: the other four BASELINE configs (#1-#4);
   - denoise_ms_per_frame: fused on-device render->denoise (rt_ldr_alb,
     albedo-guided) U-Net execute time at 800x800;
-  - rmse_{ldr,raw}_denoised_16spp_vs_own_1024spp: RMSE of the denoised
-    16 spp cornell render against the framework's own 1024 spp converged
+  - rmse_{ldr,raw}_denoised_16spp_vs_own_16kspp: RMSE of the denoised
+    16 spp cornell render against the framework's own 16384 spp converged
     render (the 1e-2 bar; no CUDA machine exists here, so the own converged
     render stands in for the CUDA reference — the key name says so).
 
@@ -173,7 +173,7 @@ def main() -> None:
     except Exception as e:  # keep the headline metric alive no matter what
         print(f"denoise bench failed: {e}", file=sys.stderr)
 
-    # ---- 3. RMSE of denoised 16 spp vs 1024 spp ground truth ----------------
+    # ---- 3. RMSE of denoised 16 spp vs 16384 spp ground truth ---------------
     # Ground truth is the framework's OWN converged render (no CUDA machine
     # exists here) — the key names say so. Both the display-domain ([0,1]
     # clamped, the LDR filter's native domain) and the raw unclamped RMSE are
@@ -183,7 +183,15 @@ def main() -> None:
         if denoised_16 is not None:
             gt = Renderer(get_scene("cornell.txt"),
                           RenderOptions(megakernel=on_tpu), seed=2)
-            gt.step_many(1024)
+            # 16384 spp: a 1024-spp GT carries ~0.042 display-RMSE of its own
+            # MC noise (sigma_16 = 0.333 measured from paired realizations) —
+            # a floor 4x the 1e-2 quality bar that the metric would report as
+            # denoiser error. 16384 drops the floor to ~0.010. Chunked
+            # dispatches with host syncs keep each device program well under
+            # the TPU worker's ~60 s runtime watchdog.
+            for _ in range(8):
+                gt.step_many(2048)
+                np.asarray(gt.image.x[:4])
             gt_img = gt.beauty()
             # rt_ldr_alb is the LDR filter: it denoises the clamped [0,1]
             # display image (emitter pixels carry radiance ~5*pi in the raw
@@ -210,8 +218,8 @@ def main() -> None:
         "ship23k_msamples_per_sec": rnd(ship_ms),
         "shipTex23k_msamples_per_sec": rnd(shiptex_ms),
         "denoise_ms_per_frame": rnd(denoise_ms),
-        "rmse_ldr_denoised_16spp_vs_own_1024spp": rnd(rmse, 5),
-        "rmse_raw_denoised_16spp_vs_own_1024spp": rnd(rmse_raw, 5),
+        "rmse_ldr_denoised_16spp_vs_own_16kspp": rnd(rmse, 5),
+        "rmse_raw_denoised_16spp_vs_own_16kspp": rnd(rmse_raw, 5),
         "sanity": {
             "finite": bool(np.isfinite(img_obj).all()),
             "nonzero": bool(img_obj.mean() > 0.01),
