@@ -28,12 +28,16 @@ from ..ops.vec3 import Vec3
 
 @functools.partial(jax.jit, static_argnames=("resolution",))
 def denoise_accumulator(
-    image: Vec3, albedo: Vec3, iteration, params, resolution: tuple[int, int]
+    image: Vec3, albedo: Vec3, iteration, params, resolution: tuple[int, int],
+    normal: Vec3 | None = None,
 ):
     """Normalize + pack + U-Net + unpack, fully on device.
 
-    image/albedo: flat [N] Vec3 accumulators; iteration: i32 scalar.
-    Returns [H, W, 3] denoised output (LDR, clamped).
+    image/albedo (and optionally normal): flat [N] Vec3 accumulators;
+    iteration: i32 scalar. With ``normal`` the 9-channel rt_ldr_alb_nrm
+    packing is used (core/unet.cpp:693-763 feature table), else the
+    6-channel rt_ldr_alb one. Returns [H, W, 3] denoised output (LDR,
+    clamped).
     """
     w, h = resolution
     hp, wp = round_up(h, UNET_ALIGNMENT), round_up(w, UNET_ALIGNMENT)
@@ -49,14 +53,21 @@ def denoise_accumulator(
     alb = plane(albedo, 1.0)
 
     # input_reorder.ispc semantics (LDR): sanitize to [0,1], sRGB forward;
-    # albedo clamped only.
+    # albedo clamped only; normal snorm [-1,1] -> [0,1].
     tf = color_mod.SRGBTransfer()
     color = tf.forward(color_mod.sanitize(color, 0.0, 1.0))
     alb = color_mod.sanitize(alb, 0.0, 1.0)
+    chans = [color, alb]
+    if normal is not None:
+        # like albedo, the normal AOV is captured at iteration 1 (renderer
+        # _first_select), not accumulated — no 1/iter normalization;
+        # sanitize+shift matches the runtime filter (filter.py _pack_input)
+        nrm = color_mod.sanitize(plane(normal, 1.0), -1.0, 1.0)
+        chans.append(nrm * 0.5 + 0.5)
 
     # bf16 through the MXU on TPU; f32 where bf16 convs are emulated (CPU).
     net_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
-    x = jnp.concatenate([color, alb], axis=-1).astype(net_dtype)
+    x = jnp.concatenate(chans, axis=-1).astype(net_dtype)
     params16 = jax.tree.map(lambda a: a.astype(net_dtype), params)
     y = unet_apply(params16, x[None])[0].astype(jnp.float32)
 

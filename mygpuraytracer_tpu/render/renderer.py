@@ -270,24 +270,27 @@ class Renderer:
         return self.beauty()
 
     def render_denoised(
-        self, iterations: int | None = None, batch: int = 16
+        self, iterations: int | None = None, batch: int = 16,
+        slot: str = "rt_ldr_alb",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Render then denoise fully on-device (no host round trip).
 
         Returns (denoised HxWx3, beauty HxWx3). Equivalent of the app loop's
         pathtrace + CPUdenoise, minus the reference's per-frame
-        GPU->CPU->GPU copies.
+        GPU->CPU->GPU copies. ``slot`` selects the filter weights; a
+        ``*_nrm`` slot feeds the first-hit normal AOV as the third feature.
         """
         from .denoise_fused import denoise_accumulator, load_denoiser_params
 
         self.render(iterations=iterations, batch=batch)
-        params, self.denoiser_random_weights = load_denoiser_params("rt_ldr_alb")
+        params, self.denoiser_random_weights = load_denoiser_params(slot)
         out = denoise_accumulator(
             self.image,
             self.albedo,
             jnp.int32(self.iteration),
             params,
             self.meta.resolution,
+            normal=self.normal if slot.endswith("_nrm") else None,
         )
         return np.asarray(out), self.beauty()
 

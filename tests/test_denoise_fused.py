@@ -1,0 +1,51 @@
+"""Fused on-device denoise vs the host Infer pipeline.
+
+denoise_accumulator packs straight off the flat Vec3 accumulators
+(render/denoise_fused.py); Infer packs from HxWxC numpy (train/infer.py).
+Same transfer/sanitize semantics (core/input_reorder.ispc:28-151,
+output_reorder.ispc:26-61) => identical outputs on CPU (both f32).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mygpuraytracer_tpu.config import RenderOptions
+from mygpuraytracer_tpu.denoise.unet import init_unet_params
+from mygpuraytracer_tpu.render import Renderer
+from mygpuraytracer_tpu.render.denoise_fused import denoise_accumulator
+from mygpuraytracer_tpu.scene.builtin import cornell_box
+from mygpuraytracer_tpu.train.infer import Infer
+
+
+@pytest.fixture(scope="module")
+def small_render():
+    scene = cornell_box()
+    scene.set_resolution(48, 32)
+    r = Renderer(scene, RenderOptions(megakernel=False), seed=7)
+    r.step_many(4)
+    return r
+
+
+@pytest.mark.parametrize("channels", [6, 9])
+def test_fused_matches_infer(small_render, channels):
+    r = small_render
+    params = init_unet_params(channels, seed=3)
+    it = max(r.iteration, 1)
+    planes = [r.beauty(), r.albedo_image()]
+    normal = None
+    if channels == 9:
+        planes.append(r.normal_image())
+        normal = r.normal
+    x = np.concatenate(planes, axis=-1).astype(np.float32)
+
+    host = Infer(params, transfer="srgb", hdr=False)(x)
+    host = np.minimum(host, 1.0)  # fused output applies the LDR clamp
+
+    fused = np.asarray(denoise_accumulator(
+        r.image, r.albedo, jnp.int32(it), params, r.meta.resolution,
+        normal=normal,
+    ))
+    assert fused.shape == host.shape
+    np.testing.assert_allclose(fused, host, atol=2e-5)
