@@ -614,7 +614,12 @@ def intersect_soa(
             # load from world e1/e2 + uv deltas) carried by both mesh tiers.
             tangent = Vec3(bex[0], bex[1], bex[2])
             bitangent = Vec3(bex[3], bex[4], bex[5])
-            texel, present = fetch_texel_soa(dev, meta, bump, uu, vv)
+            if meta.tex_pack_table:
+                # one packed row gather; CSEs with shade_soa's identical call
+                (_, _, _, _, _, texel, present) = fetch_texels_packed(
+                    dev, meta, kd, ks, ke, bump, uu, vv)
+            else:
+                texel, present = fetch_texel_soa(dev, meta, bump, uu, vv)
             tsn = v3.normalize(v3.normalize(texel) * 2.0 - 1.0)
             bumped = v3.normalize(
                 Vec3(
@@ -1321,3 +1326,47 @@ def fetch_texel_soa(dev, meta, tex_id, u, v):
         ),
         present,
     )
+
+
+def fetch_texels_packed(dev, meta, kd_id, ks_id, ke_id, bump_id, u, v):
+    """All four per-material texels in ONE [N]-row gather (packed atlas).
+
+    Per-index gather cost dominates the textured mesh tier on TPU (~10 ms
+    per 640k-lane take; docs/MESH_TIERS.md "per-bounce gathers"), so the
+    four per-bounce map fetches (kd/ks/ke in shade_soa + bump in
+    intersect_soa) collapse into one 16-channel row gather from
+    dev.tex_atlas16 whenever the scene is packable (every textured geom's
+    present maps share one resolution — scene/device_scene.py). Identical
+    call sites CSE in XLA, so intersect and shade together still issue a
+    single gather per bounce.
+
+    Returns (kd Vec3, kd_present, ks Vec3, ks_present, ke Vec3,
+    bump Vec3, bump_present); absent maps are zero/False, mirroring
+    fetch_texel_soa's null-slot semantics (interactions.h:188-239).
+    """
+    assert meta.tex_pack_table, "scene has no packed atlas"
+    zi = jnp.zeros_like(kd_id, jnp.int32)
+    off, w, h = zi, zi, zi
+    kd_p = ks_p = ke_p = bp_p = jnp.zeros(kd_id.shape, bool)
+    for (kd_t, ks_t, ke_t, bp_t, o_, w_, h_) in meta.tex_pack_table:
+        sel = (
+            (jnp.abs(kd_id - kd_t) < 0.5) & (jnp.abs(ks_id - ks_t) < 0.5)
+            & (jnp.abs(ke_id - ke_t) < 0.5) & (jnp.abs(bump_id - bp_t) < 0.5)
+        )
+        off = jnp.where(sel, o_, off)
+        w = jnp.where(sel, w_, w)
+        h = jnp.where(sel, h_, h)
+        kd_p = kd_p | (sel & (kd_t > 0))
+        ks_p = ks_p | (sel & (ks_t > 0))
+        ke_p = ke_p | (sel & (ke_t > 0))
+        bp_p = bp_p | (sel & (bp_t > 0))
+    cu = jnp.clip((u * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
+    cv = jnp.clip((v * h).astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
+    row = dev.tex_atlas16[off + cv * w + cu]  # (N, 16)
+    zero = jnp.zeros_like(row[:, 0])
+
+    def vec(base, p):
+        return Vec3(*(jnp.where(p, row[:, base + j], zero) for j in range(3)))
+
+    return (vec(0, kd_p), kd_p, vec(3, ks_p), ks_p, vec(6, ke_p),
+            vec(9, bp_p), bp_p)

@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..ops import vec3 as v3
-from ..ops.trace import HitSoA, fetch_texel_soa
+from ..ops.trace import HitSoA, fetch_texel_soa, fetch_texels_packed
 from ..ops.vec3 import Vec3
 
 FLT_EPSILON = 1.1920929e-07
@@ -141,9 +141,16 @@ def shade_soa(
     diffuse_dir = cosine_hemisphere_soa(nrm, u1, u2)
     zero = jnp.zeros_like(u1)
     if meta.has_textures:
-        ke_texel, _ = fetch_texel_soa(dev, meta, hit.ke, hit.u, hit.v)
-        kd_texel, kd_present = fetch_texel_soa(dev, meta, hit.kd, hit.u, hit.v)
-        ks_texel, ks_present = fetch_texel_soa(dev, meta, hit.ks, hit.u, hit.v)
+        if meta.tex_pack_table:
+            # one packed row gather for kd/ks/ke (+bump, used by intersect —
+            # the identical call there CSEs away in XLA)
+            (kd_texel, kd_present, ks_texel, ks_present, ke_texel,
+             _, _) = fetch_texels_packed(
+                dev, meta, hit.kd, hit.ks, hit.ke, hit.bump, hit.u, hit.v)
+        else:
+            ke_texel, _ = fetch_texel_soa(dev, meta, hit.ke, hit.u, hit.v)
+            kd_texel, kd_present = fetch_texel_soa(dev, meta, hit.kd, hit.u, hit.v)
+            ks_texel, ks_present = fetch_texel_soa(dev, meta, hit.ks, hit.u, hit.v)
         obj_emissive = (
             (ke_texel.x > FLT_EPSILON) | (ke_texel.y > FLT_EPSILON) | (ke_texel.z > FLT_EPSILON)
         )
@@ -227,8 +234,12 @@ def albedo_soa(meta, dev, hit: HitSoA) -> Vec3:
     """First-hit albedo for the denoiser (pathtrace.cu:412-459)."""
     zero = jnp.zeros_like(hit.t)
     if meta.has_textures:
-        ke_texel, _ = fetch_texel_soa(dev, meta, hit.ke, hit.u, hit.v)
-        kd_texel, kd_present = fetch_texel_soa(dev, meta, hit.kd, hit.u, hit.v)
+        if meta.tex_pack_table:
+            (kd_texel, kd_present, _, _, ke_texel, _, _) = fetch_texels_packed(
+                dev, meta, hit.kd, hit.ks, hit.ke, hit.bump, hit.u, hit.v)
+        else:
+            ke_texel, _ = fetch_texel_soa(dev, meta, hit.ke, hit.u, hit.v)
+            kd_texel, kd_present = fetch_texel_soa(dev, meta, hit.kd, hit.u, hit.v)
         obj_emissive = (
             (ke_texel.x > FLT_EPSILON) | (ke_texel.y > FLT_EPSILON) | (ke_texel.z > FLT_EPSILON)
         )

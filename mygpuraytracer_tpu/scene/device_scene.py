@@ -117,6 +117,13 @@ class DeviceScene(NamedTuple):
     # Texture atlas
     tex_atlas: jnp.ndarray  # f32[P,4] (rgb + pad; values already /255)
     tex_meta: jnp.ndarray  # i32[T,4] (offset, width, height, channels)
+    # Packed per-geom atlas: row = [kd.rgb ks.rgb ke.rgb bump.rgb pad4],
+    # built when every textured geom's present maps share one resolution.
+    # ONE [N]-row gather then serves all four per-bounce texel fetches
+    # (kd/ks/ke in shade + bump in intersect), vs four separate gathers —
+    # per-index gather cost dominates the textured tier (docs/MESH_TIERS.md
+    # "per-bounce gathers"). [1,16] placeholder when not packed.
+    tex_atlas16: jnp.ndarray  # f32[P16,16]
 
     camera: CameraParams
 
@@ -236,6 +243,11 @@ class SceneMeta:
     # literal select chain instead of a per-lane [N,4] gather — at 800^2 x
     # 8 bounces x 4 maps those meta gathers alone cost hundreds of ms.
     tex_table: tuple = ()
+    # Packed-atlas table: per textured geom
+    # (kd_id, ks_id, ke_id, bump_id, offset, width, height) — ids are
+    # tex_table slots (0 = absent map; presence per map derives from them).
+    # Empty when the scene is not packable (see tex_atlas16).
+    tex_pack_table: tuple = ()
 
 
 def _pad_to(n: int, multiple: int) -> int:
@@ -295,6 +307,38 @@ def build_device_scene(
     geom_bump = np.array([add_texture(g.bump) for g in geoms], np.int32)
     tex_atlas = np.concatenate(atlas_chunks, axis=0)
     tex_meta_arr = np.asarray(tex_meta, np.int32)
+
+    # --- Packed per-geom atlas (see DeviceScene.tex_atlas16) ----------------
+    pack_chunks: list[np.ndarray] = [np.zeros((1, 16), np.float32)]
+    pack_table: list[tuple[int, int, int, int, int, int, int]] = []
+    pack_off = 1
+    packable = True
+    for gi, g in enumerate(geoms):
+        maps = [g.kd, g.ks, g.ke, g.bump]
+        present = [t for t in maps if t.present]
+        if not present:
+            continue
+        if len({(t.width, t.height) for t in present}) != 1:
+            packable = False  # mixed resolutions within one geom: fall back
+            break
+        w_, h_ = present[0].width, present[0].height
+        row = np.zeros((w_ * h_, 16), np.float32)
+        for mi, t in enumerate(maps):
+            if not t.present:
+                continue
+            img = t.image
+            if img.shape[-1] < 3:
+                img = np.repeat(img[..., :1], 3, axis=-1)
+            row[:, 3 * mi:3 * mi + 3] = (
+                img[..., :3].reshape(-1, 3).astype(np.float32) / 255.0)
+        pack_chunks.append(row)
+        pack_table.append((int(geom_kd[gi]), int(geom_ks[gi]),
+                           int(geom_ke[gi]), int(geom_bump[gi]),
+                           pack_off, w_, h_))
+        pack_off += row.shape[0]
+    if not packable:
+        pack_chunks, pack_table = [np.zeros((1, 16), np.float32)], []
+    tex_atlas16 = np.concatenate(pack_chunks, axis=0)
 
     # --- Faces -> world-space triangle soup --------------------------------
     v0s, e1s, e2s, uv0s, uv1s, uv2s, fgeom = [], [], [], [], [], [], []
@@ -508,6 +552,7 @@ def build_device_scene(
         mat_emittance=jnp.asarray(mat_emittance),
         tex_atlas=jnp.asarray(tex_atlas),
         tex_meta=jnp.asarray(tex_meta_arr),
+        tex_atlas16=jnp.asarray(tex_atlas16),
         camera=camera_params(scene.state.camera),
     )
     def _t4(m) -> tuple:
@@ -582,5 +627,6 @@ def build_device_scene(
         mesh_clusters=mesh_cluster_bounds,
         cluster_size=CLUSTER_SIZE,
         tex_table=tuple(tex_meta),
+        tex_pack_table=tuple(pack_table),
     )
     return dev, meta

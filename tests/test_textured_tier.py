@@ -155,3 +155,50 @@ def test_textured_tier_sort_modes_identical():
             np.testing.assert_allclose(
                 np.asarray(a)[hit], np.asarray(b)[hit], rtol=1e-5, atol=1e-5
             )
+
+
+def test_packed_texel_fetch_matches_per_map():
+    """fetch_texels_packed (one 16-ch row gather) == 4x fetch_texel_soa."""
+    import jax.numpy as jnp
+
+    from mygpuraytracer_tpu.ops.trace import fetch_texel_soa, fetch_texels_packed
+
+    scene = _wavy_mesh_scene()
+    dev, meta = build_device_scene(scene)
+    assert meta.tex_pack_table, "wavy scene should be packable"
+    rng = np.random.default_rng(11)
+    n = 512
+    u = jnp.asarray(rng.random(n, np.float32))
+    v = jnp.asarray(rng.random(n, np.float32))
+    # lanes alternating between the textured geom's ids and the null geom
+    kd_t, ks_t, ke_t, bp_t = meta.tex_pack_table[0][:4]
+    on = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    ids = {k: on * t for k, t in
+           (("kd", kd_t), ("ks", ks_t), ("ke", ke_t), ("bump", bp_t))}
+
+    kd, kd_p, ks, ks_p, ke, bp, bp_p = fetch_texels_packed(
+        dev, meta, ids["kd"], ids["ks"], ids["ke"], ids["bump"], u, v)
+    for got, got_p, tex_id in ((kd, kd_p, ids["kd"]), (ks, ks_p, ids["ks"]),
+                               (ke, None, ids["ke"]), (bp, bp_p, ids["bump"])):
+        want, want_p = fetch_texel_soa(dev, meta, tex_id, u, v)
+        for a, b in zip((got.x, got.y, got.z), (want.x, want.y, want.z)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        if got_p is not None:
+            np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_mixed_resolution_falls_back_to_per_map_atlas():
+    scene = _wavy_mesh_scene()
+    rng = np.random.default_rng(6)
+    scene.geoms[0].ks = _tex(rng, w=8, h=8)  # break the shared-resolution rule
+    dev, meta = build_device_scene(scene)
+    assert not meta.tex_pack_table
+    assert dev.tex_atlas16.shape == (1, 16)
+    # shading still resolves texels through the per-map path
+    from mygpuraytracer_tpu.render.shade import albedo_soa
+
+    o, d = _rays(512)
+    hit = intersect_soa(meta, dev, o, d, 128, mesh_pallas=False)
+    alb = albedo_soa(meta, dev, hit)
+    arr = np.stack([np.asarray(alb.x), np.asarray(alb.y), np.asarray(alb.z)])
+    assert np.isfinite(arr).all() and arr.max() > 0
