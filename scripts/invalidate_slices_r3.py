@@ -9,15 +9,19 @@ are stale until deleted. sphere/shipTex/cottage slices are untouched
 
 import glob
 import os
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 n = 0
-for pat in ("data/slots_r3/*/cornell*.npy", "data/slots_r3/*/glass*.npy",
-            "data/slots_r3/*/valid/cornell*.npy",
-            "data/slots_r3/*/valid/glass*.npy"):
+for pat in ("data/slots_r3/*/*.npy", "data/slots_r3/*/valid/*.npy"):
     for p in glob.glob(pat):
-        os.remove(p)
-        n += 1
+        stem = re.sub(r"\.(input|target)\.npy$", "", os.path.basename(p))
+        sub = "valid/" if "/valid/" in p else ""
+        master = f"data/master_r2/{sub}{stem}.master.npz"
+        # stale = the master was rewritten (clean upgrade) after slicing
+        if os.path.exists(master) and os.path.getmtime(master) > os.path.getmtime(p):
+            os.remove(p)
+            n += 1
 print(f"removed {n} stale slices", flush=True)

@@ -13,7 +13,10 @@ run_watched() {  # run_watched <done-marker-regex> <log> <cmd...>
   for i in $(seq 1 40); do
     "$@" >> "$log" 2>&1 &
     local cpid=$!
-    while kill -0 "$cpid" 2>/dev/null; do
+    # NOT `kill -0`: that succeeds on zombies, so the loop would spin for a
+    # full watchdog period after every stage exits (observed 2026-08-18).
+    while [ "$(ps -o stat= -p "$cpid" 2>/dev/null | tr -d ' ')" ] \
+        && ! ps -o stat= -p "$cpid" 2>/dev/null | grep -q Z; do
       sleep 120
       if [ -z "$(find results data/master_r2 weights -mmin -25 2>/dev/null | head -1)" ]; then
         echo "watchdog: no progress in 25 min; killing pid $cpid" >&2
