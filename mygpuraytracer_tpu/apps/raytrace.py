@@ -40,6 +40,13 @@ def parse_args(argv=None):
     p.add_argument("--save-normal", action="store_true",
                    help="also save the first-hit normal AOV ([-1,1] -> [0,1])")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--multichip", choices=("off", "sample", "pixels"),
+                   default="off",
+                   help="render over all visible devices: 'sample' splits "
+                        "MC iterations across the mesh (one psum merge), "
+                        "'pixels' shards the wavefront+accumulators "
+                        "(per-chip memory = N/devices); both match the "
+                        "single-device image (tests/test_parallel.py)")
     p.add_argument("--mesh-tier",
                    choices=("lists", "rows", "rows_dma", "conds"),
                    default="rows",
@@ -97,6 +104,55 @@ def denoise_beauty(beauty: np.ndarray, albedo: np.ndarray, verbose=True):
     return output, timings
 
 
+def _render_multichip(r, options, iterations, mode, log) -> int:
+    """Render on a mesh over all visible devices into ``r``'s accumulators.
+
+    Returns the number of iterations completed (a remainder that does not
+    divide the mesh falls through to the sequential loop). The reference is
+    single-GPU (SURVEY.md §2d) — scaling modes are TPU-native additions.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import make_mesh
+    from ..parallel.sharded import render_multichip_sample, sharded_render_step
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        log("multichip: single device visible; using the sequential path")
+        return 0
+    mesh = make_mesh(n_dev)
+    if mode == "sample":
+        spp = (iterations // n_dev) * n_dev
+        if spp == 0:
+            return 0
+        img, alb, nrm = render_multichip_sample(
+            r.dev, r.meta, options, r.base_key, spp, mesh)
+        r.image, r.albedo, r.normal = img, alb, nrm
+        r.iteration = spp
+        log(f"multichip sample-parallel: {spp} iterations over {n_dev} devices")
+        return spp
+    # pixels: shard the wavefront + accumulators; run ALL iterations here
+    w, h = r.meta.resolution
+    if (w * h) % n_dev:
+        log(f"multichip pixels: {w}x{h} does not divide {n_dev} devices; "
+            "using the sequential path")
+        return 0
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step_fn, make_state = sharded_render_step(r.meta, options, mesh)
+    image, albedo, cache = make_state()
+    dev_r = jax.device_put(r.dev, NamedSharding(mesh, P()))
+    for it in range(1, iterations + 1):
+        image, albedo, cache = step_fn(
+            dev_r, image, albedo, cache, jnp.int32(it), r.base_key)
+    r.image, r.albedo = image, albedo
+    r.iteration = iterations
+    log(f"multichip pixel-sharded: {iterations} iterations, "
+        f"{w * h // n_dev} lanes/device over {n_dev} devices")
+    return iterations
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     from ..utils.platform import force_platform
@@ -133,6 +189,8 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     done = 0
+    if args.multichip != "off":
+        done = _render_multichip(r, options, iterations, args.multichip, log)
     while done < iterations:
         n = min(args.batch, iterations - done)
         r.step_many(n)

@@ -135,3 +135,26 @@ def test_denoise_cli_prefilter_aux(tmp_path):
     assert rc == 0
     out2 = load_image(str(tmp_path / "out2.pfm"))
     assert np.abs(out - out2).max() > 0
+
+
+@pytest.mark.parametrize("mode", ["sample", "pixels"])
+def test_raytrace_cli_multichip(tmp_path, mode):
+    """--multichip renders match the sequential CLI image (8 virtual devs)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mygpuraytracer_tpu.apps.raytrace import main
+    from mygpuraytracer_tpu.utils.png import read_png
+
+    common = ["cornell", "--resolution", "32", "32", "--iterations", "8",
+              "--batch", "4", "--no-denoise", "--quiet"]
+    assert main(common + ["--out-dir", str(tmp_path / "seq")]) == 0
+    assert main(common + ["--out-dir", str(tmp_path / mode),
+                          "--multichip", mode]) == 0
+
+    def samp(d):
+        fn = [f for f in os.listdir(tmp_path / d) if f.endswith("samp.png")][0]
+        return read_png(str(tmp_path / d / fn))
+
+    np.testing.assert_allclose(samp("seq"), samp(mode), atol=1.5 / 255)
