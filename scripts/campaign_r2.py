@@ -138,7 +138,12 @@ def load_stack(d):
     return np.stack(xs), np.stack(ys)
 
 
-def stage_train(slots, epochs):
+def stage_train(slots, epochs, stacks=None):
+    """stacks: optional {slot: (x, y)} of pre-built (possibly device-
+    resident) train arrays — skips the per-slot disk load + fp32 re-upload
+    (the round-3 slot stacks cost ~minutes each through the axon tunnel;
+    a shared plane cache uploads the master pool once, see
+    scripts/run_campaign_r3c.py)."""
     from mygpuraytracer_tpu.denoise.weights import WEIGHTS_CHANNELS
     from mygpuraytracer_tpu.train.export import export_weights
     from mygpuraytracer_tpu.train.train import TrainConfig, train_device
@@ -146,7 +151,10 @@ def stage_train(slots, epochs):
     for slot in slots:
         data_dir = DIR_DATA if slot == "rtlightmap_dir" else os.path.join(
             SLOTS_DIR, slot)
-        x, y = load_stack(data_dir)
+        if stacks is not None and slot in stacks:
+            x, y = stacks[slot]
+        else:
+            x, y = load_stack(data_dir)
         # Fragile surfaces: the MS-SSIM term blows up deterministically on
         # HDR (pu/log) values near the OneCycle peak (rt_hdr_alb -> 1e7 loss
         # at BOTH 3e-4 and 1e-4, clean bounded data, grad-clip active), and
@@ -252,7 +260,9 @@ def stage_eval(slots):
     from mygpuraytracer_tpu.train.infer import Infer as _I
 
     for slot, d in (("rt_alb", None), ("rt_nrm", None),
-                    ("rtlightmap_dir", DIR_DATA)):
+                    ("rtlightmap_hdr", None), ("rtlightmap_dir", DIR_DATA)):
+        if slot not in slots:
+            continue
         params, rnd = load_default_params(slot)
         if rnd:
             continue

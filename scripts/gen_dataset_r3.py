@@ -110,3 +110,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    print("ALLDONE", flush=True)
