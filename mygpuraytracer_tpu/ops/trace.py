@@ -1244,15 +1244,16 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     mt, fx, fy, fz, gf = flat_out[:5]
     if not defer:
         return mt, Vec3(fx, fy, fz), gf, ()
-    # Deferred uv/TBN fetch: one row-major [Fp, 16] gather on the winners'
+    # Deferred uv/TBN fetch: one row-major [Fp, 12] gather on the winners'
     # face ids (non-winners carry fid 0 — garbage values, masked by the
     # caller's `better` merge). Columns 0-5 are (uv0, duv1, duv2);
-    # columns 8-13 the unit tangent/bitangent. Row gathers measured ~2x
-    # faster than column gathers of the same table (32.4 vs 68.6 ms at
-    # 640k indices) — and this runs every bounce.
+    # columns 6-11 the unit tangent/bitangent (the streamed layout's pad
+    # columns are dropped from the gather table: row gathers measured ~2x
+    # faster than column gathers and scale with row bytes — and this runs
+    # every bounce).
     u_b, v_b, fidf = flat_out[5:8]
     fid = jnp.clip(fidf.astype(jnp.int32), 0, ex.shape[0] - 1)
-    cols = jnp.take(ex, fid, axis=0)  # (N, 16)
+    cols = jnp.take(ex, fid, axis=0)  # (N, 12)
     extras = []
     if with_uv:
         extras += [
@@ -1260,7 +1261,7 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
             cols[:, 1] + u_b * cols[:, 3] + v_b * cols[:, 5],
         ]
     if with_tb:
-        extras += [cols[:, 8 + j] for j in range(6)]
+        extras += [cols[:, 6 + j] for j in range(6)]
     return mt, Vec3(fx, fy, fz), gf, tuple(extras)
 
 
@@ -1315,17 +1316,18 @@ def fetch_texel_soa(dev, meta, tex_id, u, v):
     cu = jnp.clip((u * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
     cv = jnp.clip((v * h).astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
     pix = off + cv * w + cu
-    rgb = dev.tex_atlas[pix]
+    # Byte-packed gather: one uint32 word per texel instead of a 16-byte f32
+    # row (gather cost scales with row bytes; textures are uint8 by contract
+    # so u8/255 reconstructs dev.tex_atlas's values exactly).
+    word = dev.tex_atlas_w[pix]
     present = ch > 0
-    zero = jnp.zeros_like(rgb[:, 0])
-    return (
-        Vec3(
-            jnp.where(present, rgb[:, 0], zero),
-            jnp.where(present, rgb[:, 1], zero),
-            jnp.where(present, rgb[:, 2], zero),
-        ),
-        present,
-    )
+
+    def chan(j):
+        b = (word >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
+        val = b.astype(jnp.float32) / jnp.float32(255.0)
+        return jnp.where(present, val, 0.0)
+
+    return Vec3(chan(0), chan(1), chan(2)), present
 
 
 def fetch_texels_packed(dev, meta, kd_id, ks_id, ke_id, bump_id, u, v):
@@ -1362,11 +1364,17 @@ def fetch_texels_packed(dev, meta, kd_id, ks_id, ke_id, bump_id, u, v):
         bp_p = bp_p | (sel & (bp_t > 0))
     cu = jnp.clip((u * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
     cv = jnp.clip((v * h).astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
-    row = dev.tex_atlas16[off + cv * w + cu]  # (N, 16)
-    zero = jnp.zeros_like(row[:, 0])
+    # Byte-packed gather: 16-byte uint32 rows instead of 64-byte f32 rows
+    # (the 12 used channels live in words 0-2; u8/255 reconstructs
+    # dev.tex_atlas16's values exactly — textures are uint8 by contract).
+    words = dev.tex_atlas16_w[off + cv * w + cu]  # (N, 4) uint32
+
+    def chan(j):
+        b = (words[:, j // 4] >> jnp.uint32(8 * (j % 4))) & jnp.uint32(0xFF)
+        return b.astype(jnp.float32) / jnp.float32(255.0)
 
     def vec(base, p):
-        return Vec3(*(jnp.where(p, row[:, base + j], zero) for j in range(3)))
+        return Vec3(*(jnp.where(p, chan(base + j), 0.0) for j in range(3)))
 
     return (vec(0, kd_p), kd_p, vec(3, ks_p), ks_p, vec(6, ke_p),
             vec(9, bp_p), bp_p)

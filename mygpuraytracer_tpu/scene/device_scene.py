@@ -90,9 +90,12 @@ class DeviceScene(NamedTuple):
     # so the plain kernel's operands stay unchanged.
     face_plane_ex: jnp.ndarray  # f32[16, Fp] (or [16, 1])
     # Transposed copy for the rows tier's deferred winner gather: row-major
-    # (Fp, 16) rows gather ~2x faster than (16, Fp) columns on TPU
-    # (measured 32.4 vs 68.6 ms at 640k indices).
-    face_ex_t: jnp.ndarray  # f32[Fp, 16] (or [1, 16])
+    # rows gather ~2x faster than columns on TPU (measured 32.4 vs 68.6 ms
+    # at 640k indices), and gather cost scales with row BYTES (~0.4 ms/byte
+    # over an ~8.6 ms floor at 640k indices) — so the pad columns of the
+    # streamed 16-row layout are dropped here: cols 0-5 uv coefficients,
+    # cols 6-11 unit tangent/bitangent.
+    face_ex_t: jnp.ndarray  # f32[Fp, 12] (or [1, 12])
     # Sublane-shifted face quantities for the row-granular mesh tier
     # (mesh_tier='rows'): row q*8+s, lane c*128+l = quantity q of face
     # (c*128 + (l + 16*s) % 128) — so one (8,128) block of quantity q holds
@@ -124,6 +127,14 @@ class DeviceScene(NamedTuple):
     # per-index gather cost dominates the textured tier (docs/MESH_TIERS.md
     # "per-bounce gathers"). [1,16] placeholder when not packed.
     tex_atlas16: jnp.ndarray  # f32[P16,16]
+    # Byte-packed forms of the same atlases: textures are uint8 by contract
+    # (scene/structs.py Texture), so a texel row is exactly reconstructible
+    # as u8/255 after the gather — and gathering 16-byte uint32 rows instead
+    # of 64-byte f32 rows cuts the dominant per-bounce gather cost ~2x
+    # (docs/MESH_TIERS.md "per-bounce gathers"). Word j packs channels
+    # 4j..4j+3 little-endian (channel 4j in the low byte).
+    tex_atlas_w: jnp.ndarray  # u32[P] (r | g<<8 | b<<16)
+    tex_atlas16_w: jnp.ndarray  # u32[P16,4]
 
     camera: CameraParams
 
@@ -283,8 +294,16 @@ def build_device_scene(
     # 4-channel rows (rgb + pad): 16-byte-aligned row gathers are cheaper
     # than 12-byte ones, and the texel fetch is a per-bounce [N]-row gather.
     atlas_chunks: list[np.ndarray] = [np.zeros((1, 4), np.float32)]  # null texel
+    word_chunks: list[np.ndarray] = [np.zeros((1,), np.uint32)]
     tex_meta: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)]  # slot 0 = none
     offset = 1
+
+    def _pack_words(u8):
+        """Little-endian byte pack of a (n, k<=4) uint8 array into uint32."""
+        w = np.zeros(u8.shape[0], np.uint32)
+        for j in range(u8.shape[1]):
+            w |= u8[:, j].astype(np.uint32) << np.uint32(8 * j)
+        return w
 
     def add_texture(tex) -> int:
         nonlocal offset
@@ -293,10 +312,13 @@ def build_device_scene(
         img = tex.image
         if img.shape[-1] < 3:
             img = np.repeat(img[..., :1], 3, axis=-1)
-        flat3 = (img[..., :3].reshape(-1, 3).astype(np.float32)) / 255.0
+        u8 = img[..., :3].reshape(-1, 3)
+        assert u8.dtype == np.uint8, "textures are uint8 by contract"
+        flat3 = u8.astype(np.float32) / 255.0
         flat = np.zeros((flat3.shape[0], 4), np.float32)
         flat[:, :3] = flat3
         atlas_chunks.append(flat)
+        word_chunks.append(_pack_words(u8))
         tex_meta.append((offset, tex.width, tex.height, tex.channels))
         offset += flat.shape[0]
         return len(tex_meta) - 1
@@ -306,10 +328,12 @@ def build_device_scene(
     geom_ke = np.array([add_texture(g.ke) for g in geoms], np.int32)
     geom_bump = np.array([add_texture(g.bump) for g in geoms], np.int32)
     tex_atlas = np.concatenate(atlas_chunks, axis=0)
+    tex_atlas_w = np.concatenate(word_chunks, axis=0)
     tex_meta_arr = np.asarray(tex_meta, np.int32)
 
     # --- Packed per-geom atlas (see DeviceScene.tex_atlas16) ----------------
     pack_chunks: list[np.ndarray] = [np.zeros((1, 16), np.float32)]
+    pack_word_chunks: list[np.ndarray] = [np.zeros((1, 4), np.uint32)]
     pack_table: list[tuple[int, int, int, int, int, int, int]] = []
     pack_off = 1
     packable = True
@@ -322,23 +346,28 @@ def build_device_scene(
             packable = False  # mixed resolutions within one geom: fall back
             break
         w_, h_ = present[0].width, present[0].height
-        row = np.zeros((w_ * h_, 16), np.float32)
+        row_u8 = np.zeros((w_ * h_, 16), np.uint8)
         for mi, t in enumerate(maps):
             if not t.present:
                 continue
             img = t.image
             if img.shape[-1] < 3:
                 img = np.repeat(img[..., :1], 3, axis=-1)
-            row[:, 3 * mi:3 * mi + 3] = (
-                img[..., :3].reshape(-1, 3).astype(np.float32) / 255.0)
-        pack_chunks.append(row)
+            u8 = img[..., :3].reshape(-1, 3)
+            assert u8.dtype == np.uint8, "textures are uint8 by contract"
+            row_u8[:, 3 * mi:3 * mi + 3] = u8
+        pack_chunks.append(row_u8.astype(np.float32) / 255.0)
+        pack_word_chunks.append(np.stack(
+            [_pack_words(row_u8[:, 4 * j:4 * j + 4]) for j in range(4)], axis=1))
         pack_table.append((int(geom_kd[gi]), int(geom_ks[gi]),
                            int(geom_ke[gi]), int(geom_bump[gi]),
                            pack_off, w_, h_))
-        pack_off += row.shape[0]
+        pack_off += row_u8.shape[0]
     if not packable:
         pack_chunks, pack_table = [np.zeros((1, 16), np.float32)], []
+        pack_word_chunks = [np.zeros((1, 4), np.uint32)]
     tex_atlas16 = np.concatenate(pack_chunks, axis=0)
+    tex_atlas16_w = np.concatenate(pack_word_chunks, axis=0)
 
     # --- Faces -> world-space triangle soup --------------------------------
     v0s, e1s, e2s, uv0s, uv1s, uv2s, fgeom = [], [], [], [], [], [], []
@@ -541,7 +570,10 @@ def build_device_scene(
         ),
         face_plane=jnp.asarray(face_plane),
         face_plane_ex=jnp.asarray(face_plane_ex),
-        face_ex_t=jnp.asarray(np.ascontiguousarray(face_plane_ex.T)),
+        # gather table drops the streamed layout's pad columns (6,7,14,15):
+        # cols 0-5 uv coefficients, 6-11 tangent/bitangent
+        face_ex_t=jnp.asarray(np.ascontiguousarray(
+            face_plane_ex[list(range(6)) + list(range(8, 14))].T)),
         face_shift=jnp.asarray(face_shift),
         mat_color=jnp.asarray(mat_color),
         mat_spec_color=jnp.asarray(mat_spec_color),
@@ -553,6 +585,8 @@ def build_device_scene(
         tex_atlas=jnp.asarray(tex_atlas),
         tex_meta=jnp.asarray(tex_meta_arr),
         tex_atlas16=jnp.asarray(tex_atlas16),
+        tex_atlas_w=jnp.asarray(tex_atlas_w),
+        tex_atlas16_w=jnp.asarray(tex_atlas16_w),
         camera=camera_params(scene.state.camera),
     )
     def _t4(m) -> tuple:
