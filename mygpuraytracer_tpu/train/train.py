@@ -67,6 +67,13 @@ class TrainConfig:
     # when the result_dir has no checkpoint of its own (fresh optimizer +
     # schedule — fine-tuning a previous round's weights on new data).
     init_from: str = ""
+    # Per-step exponential moving average of params (0 disables). When on,
+    # validation/best-valid/export all use the EMA weights — the averaged
+    # point sits in a flatter spot of the loss surface than any single SGD
+    # iterate (standard for image-restoration nets; the short fine-tune
+    # regimes here check validation only every ~epochs/20, so the EMA also
+    # de-noises the best-valid selection between checks).
+    ema: float = 0.0
 
     def check_compatible(self, other: dict):
         """Config mismatch detection on resume (train.py:68-99)."""
@@ -88,7 +95,8 @@ def _checkpoint_path(result_dir: str, epoch: int) -> str:
     return os.path.join(result_dir, f"checkpoint_{epoch}.pkl")
 
 
-def save_checkpoint(result_dir, epoch, step, params, opt_state, cfg: TrainConfig):
+def save_checkpoint(result_dir, epoch, step, params, opt_state, cfg: TrainConfig,
+                    ema_params=None):
     os.makedirs(result_dir, exist_ok=True)
     state = {
         "epoch": epoch,
@@ -96,6 +104,8 @@ def save_checkpoint(result_dir, epoch, step, params, opt_state, cfg: TrainConfig
         "params": jax.device_get(params),
         "opt_state": jax.device_get(opt_state),
     }
+    if ema_params is not None:
+        state["ema_params"] = jax.device_get(ema_params)
     with open(_checkpoint_path(result_dir, epoch), "wb") as f:
         pickle.dump(state, f)
     with open(os.path.join(result_dir, "config.json"), "w") as f:
@@ -282,19 +292,26 @@ def build_epoch_fn(cfg: TrainConfig, optimizer):
         pred = unet_apply(params, x.astype(compute_dtype)).astype(jnp.float32)
         return loss_fn(pred, y)
 
+    use_ema = cfg.ema > 0.0
+    d = jnp.float32(cfg.ema)
+
     @jax.jit
-    def epoch_fn(params, opt_state, key, x_imgs, y_imgs):
+    def epoch_fn(params, opt_state, ema_params, key, x_imgs, y_imgs):
         def step(carry, k):
-            params, opt_state = carry
+            params, opt_state, ema = carry
             x, y = make_batch(k, x_imgs, y_imgs)
             loss, grads = jax.value_and_grad(loss_value)(params, x, y)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            if use_ema:
+                ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                                   ema, params)
+            return (params, opt_state, ema), loss
 
         keys = jax.random.split(key, cfg.steps_per_epoch)
-        (params, opt_state), losses = lax.scan(step, (params, opt_state), keys)
-        return params, opt_state, jnp.mean(losses)
+        (params, opt_state, ema_params), losses = lax.scan(
+            step, (params, opt_state, ema_params), keys)
+        return params, opt_state, ema_params, jnp.mean(losses)
 
     return epoch_fn
 
@@ -337,6 +354,12 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
         # fine-tune warm start: previous round's params, fresh optimizer
         params = load_init_params(cfg.init_from)
 
+    use_ema = cfg.ema > 0.0
+    # EMA initializes AT the current weights (a zero init would need a long
+    # bias-correction burn-in the short fine-tune regimes don't have);
+    # resumed runs restore the saved average when the checkpoint carries one.
+    ema_params = (ckpt or {}).get("ema_params") or params
+
     epoch_fn = build_epoch_fn(cfg, optimizer)
 
     valid_dir = cfg.valid_dir or os.path.join(cfg.data_dir, "valid")
@@ -368,9 +391,11 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
     PATIENCE = 8  # valid checks without improvement before early stop
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
-        params, opt_state, mean_loss = epoch_fn(
-            params, opt_state, jrandom.fold_in(base_key, epoch), x_imgs, y_imgs
+        params, opt_state, ema_params, mean_loss = epoch_fn(
+            params, opt_state, ema_params, jrandom.fold_in(base_key, epoch),
+            x_imgs, y_imgs
         )
+        eval_params = ema_params if use_ema else params
         step += cfg.steps_per_epoch
         # Divergence guard: HDR loss surfaces can blow up past the OneCycle
         # peak even with global-norm clipping (params saturate and never
@@ -393,6 +418,7 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
                 log_fn(msg)
             if ckpt is not None:
                 params = ckpt["params"]
+                ema_params = ckpt.get("ema_params") or params
             break
         rec = {
             "epoch": epoch + 1,
@@ -404,7 +430,7 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
         if valid_ds is not None and (
             (epoch + 1) % cfg.valid_epochs == 0 or epoch + 1 == cfg.num_epochs
         ):
-            vl = validate(cfg, params, valid_ds, eval_fn)
+            vl = validate(cfg, eval_params, valid_ds, eval_fn)
             rec["valid_loss"] = vl
             # Best-valid selection + early stop: fine-tune runs (warm-started
             # from already-good weights) can overfit monotonically — round-3
@@ -414,9 +440,9 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
             # reference's keep-best eval loop, training/train.py:228-269)
             # and stop after `patience` checks without improvement.
             if np.isfinite(vl) and vl < best_valid:
-                best_valid, best_params, stale = vl, params, 0
+                best_valid, best_params, stale = vl, eval_params, 0
                 with open(best_path, "wb") as f:
-                    pickle.dump({"params": jax.device_get(params),
+                    pickle.dump({"params": jax.device_get(eval_params),
                                  "valid_loss": vl, "epoch": epoch + 1}, f)
             else:
                 stale += 1
@@ -425,7 +451,8 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
         if log_fn:
             log_fn(rec)
         if (epoch + 1) % cfg.save_epochs == 0 or epoch + 1 == cfg.num_epochs:
-            save_checkpoint(cfg.result_dir, epoch + 1, step, params, opt_state, cfg)
+            save_checkpoint(cfg.result_dir, epoch + 1, step, params, opt_state,
+                            cfg, ema_params=ema_params if use_ema else None)
         if stale >= PATIENCE:
             msg = {"epoch": epoch + 1, "early_stop": True, "loss": loss_val,
                    "best_valid": best_valid}
@@ -436,7 +463,7 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
             break
     if best_params is not None:
         return best_params
-    return params
+    return ema_params if use_ema else params
 
 
 def train(cfg: TrainConfig, mesh: Mesh | None = None, log_fn=None):

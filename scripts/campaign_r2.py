@@ -34,6 +34,9 @@ RESULTS_DIR = "results/r2"
 INIT_DIR = ""
 # Peak-LR multiplier (fine-tune rounds run a gentler OneCycle).
 LR_SCALE = 1.0
+# Per-step params-EMA decay (0 = off; round-3c fine-tunes set 0.999 —
+# validation/export then use the averaged weights, see TrainConfig.ema).
+EMA = 0.0
 
 ALL_SLOTS = [
     "rt_hdr_alb", "rt_ldr_alb", "rt_hdr_alb_nrm", "rt_ldr_alb_nrm",
@@ -177,6 +180,7 @@ def stage_train(slots, epochs, stacks=None):
             # dataset) would fail at shape-build time
             tile_size=1 << min(256, x.shape[1]).bit_length() - 1,
             max_lr=(1e-4 if fragile else 3e-4) * LR_SCALE,
+            ema=EMA,
             precision="mixed",
             save_epochs=max(epochs // 10, 1),
             valid_epochs=max(epochs // 20, 1),

@@ -38,6 +38,7 @@ c.SLOTS_DIR = "data/slots_r3"
 c.RESULTS_DIR = "results/r3c"
 c.INIT_DIR = "results/_tza_warm_start_only"  # no such dir -> TZA fallback
 c.LR_SCALE = 0.5
+c.EMA = 0.999  # validate/export the params EMA (keep-best protects)
 
 DEADLINE_FILE = "/tmp/r3c_deadline"
 

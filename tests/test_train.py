@@ -242,6 +242,45 @@ def test_train_device_smoke(tmp_path):
     assert all("valid_loss" in r and np.isfinite(r["valid_loss"]) for r in recs)
 
 
+def test_train_device_ema(tmp_path):
+    """With cfg.ema on, checkpoints carry the params EMA, the returned
+    weights are the averaged point (not the raw SGD iterate), and resume
+    restores the average."""
+    from mygpuraytracer_tpu.train.train import train_device
+
+    rng = np.random.default_rng(1)
+    x = rng.random((3, 48, 48, 6), np.float32)
+    y = rng.random((3, 48, 48, 3), np.float32)
+    cfg = TrainConfig(
+        data_dir=str(tmp_path),
+        result_dir=str(tmp_path / "result"),
+        in_channels=6,
+        loss="l1",
+        num_epochs=2,
+        steps_per_epoch=4,
+        batch_size=2,
+        tile_size=32,
+        precision="float32",
+        save_epochs=1,
+        ema=0.9,
+    )
+    out = train_device(cfg, x, y)
+    ckpt = latest_checkpoint(cfg.result_dir)
+    assert ckpt["epoch"] == 2 and "ema_params" in ckpt
+    # the EMA lags the raw iterate after a fresh-init run
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        ckpt["ema_params"], ckpt["params"]))
+    assert max(diffs) > 0
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(out)[0]),
+        np.asarray(jax.tree.leaves(ckpt["ema_params"])[0]))
+    # resume restores the average and keeps training
+    cfg.num_epochs = 3
+    train_device(cfg, x, y)
+    assert latest_checkpoint(cfg.result_dir)["epoch"] == 3
+
+
 def test_warm_start_from_tza(tmp_path):
     """init_from accepts an exported .tza: a fresh machine keeps only the
     committed TZA form of a previous round's params (checkpoints live
