@@ -24,7 +24,14 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5):
 
 
 def _filter2d(x, window):
-    """Depthwise 2D filter, NHWC; 'valid' padding like the torch impl."""
+    """Depthwise 2D filter, NHWC; 'valid' padding like the torch impl.
+
+    Precision HIGHEST is load-bearing: TPU convs on f32 inputs compute in
+    bf16 by default, and the variance estimators below are catastrophic
+    cancellations (E[x^2] - mu^2) — bf16's ~8e-3 relative error dwarfs
+    c2 = 9e-4 on low-contrast tiles, driving sigma (and even the cs
+    denominator) negative. Observed on hardware as valid_loss = -0.14
+    (MS-SSIM "1.17") on the round-3 800^2 validation tiles."""
     c = x.shape[-1]
     w = jnp.broadcast_to(window[:, :, None, None], (*window.shape, 1, c))
     w = jnp.transpose(w, (0, 1, 2, 3))  # HWIO with I=1 (depthwise)
@@ -35,6 +42,7 @@ def _filter2d(x, window):
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
     )
 
 
@@ -44,9 +52,15 @@ def _ssim_parts(a, b, window, c1=0.01**2, c2=0.03**2):
     mu_aa = mu_a * mu_a
     mu_bb = mu_b * mu_b
     mu_ab = mu_a * mu_b
-    sig_a = _filter2d(a * a, window) - mu_aa
-    sig_b = _filter2d(b * b, window) - mu_bb
+    # The Gaussian-window empirical covariance matrix is PSD in exact
+    # arithmetic; float error can still leave sigma slightly negative or
+    # sigma_ab past Cauchy-Schwarz on near-constant windows, which lets
+    # cs exceed 1 (and the training loss go negative). Clamp to the cone.
+    sig_a = jnp.maximum(_filter2d(a * a, window) - mu_aa, 0.0)
+    sig_b = jnp.maximum(_filter2d(b * b, window) - mu_bb, 0.0)
     sig_ab = _filter2d(a * b, window) - mu_ab
+    bound = jnp.sqrt(sig_a * sig_b + 1e-20)
+    sig_ab = jnp.clip(sig_ab, -bound, bound)
     cs = (2 * sig_ab + c2) / (sig_a + sig_b + c2)
     ssim = ((2 * mu_ab + c1) / (mu_aa + mu_bb + c1)) * cs
     return ssim, cs

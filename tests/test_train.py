@@ -29,6 +29,23 @@ def test_ssim_decreases_with_noise():
     assert float(ssim(x, noisy)) < float(ssim(x, x))
 
 
+def test_msssim_bounded_on_near_constant_tiles():
+    """MS-SSIM (sum form) must never exceed 1: the sigma estimators are
+    catastrophic cancellations and float error can push cs past 1 on
+    near-constant windows — observed on TPU (bf16 default-precision convs)
+    as a NEGATIVE validation loss that corrupted best-valid selection.
+    _ssim_parts now clamps the covariance to the PSD cone and filters at
+    Precision.HIGHEST."""
+    rng = np.random.default_rng(5)
+    flat = 0.9 + 1e-4 * rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    flat2 = 0.9 + 1e-4 * rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    for a, b in ((flat, flat2), (flat, flat), (flat, np.zeros_like(flat))):
+        v = float(ms_ssim(jnp.asarray(a), jnp.asarray(b), product=False))
+        assert v <= 1.0 + 1e-5, v
+    loss = get_loss_function("l1_msssim")
+    assert float(loss(jnp.asarray(flat), jnp.asarray(flat2))) >= -1e-5
+
+
 def test_losses_zero_at_identity():
     x = jax.random.uniform(jax.random.key(2), (1, 48, 48, 3)) * 0.8 + 0.1
     for name in ("l1", "l2", "mape", "smape", "l1_grad"):
