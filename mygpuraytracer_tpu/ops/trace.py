@@ -1226,7 +1226,7 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     cnt_spec = pl.BlockSpec((SUB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     cb_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole array, ~4 KB
     fs_spec = pl.BlockSpec(
-        memory_space=pltpu.ANY if dma else pltpu.VMEM)
+        memory_space=pl.ANY if dma else pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
