@@ -489,7 +489,7 @@ def _mesh_sort_key(meta, o: Vec3, d: Vec3) -> jnp.ndarray:
 def intersect_soa(
     meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128, bounding_box: bool = False,
     mesh_pallas: bool | None = None, mesh_sort: bool | str = False,
-    mesh_tier: str = "lists",
+    mesh_tier: str = "lists", winner_table: str = "f32",
 ) -> HitSoA:
     """Nearest hit over the whole scene with materials resolved in-loop.
 
@@ -534,7 +534,8 @@ def intersect_soa(
                     meta, dev.face_shift, ov, dv, tcap,
                     with_uv=meta.has_textures, with_tb=with_bump,
                     dma=True if mesh_tier == "rows_dma" else None,
-                    ex=dev.face_ex_t,
+                    ex=(dev.face_ex_h if winner_table == "f16"
+                        else dev.face_ex_t),
                 )
             else:
                 tier_fn = mesh_list_hit if mesh_tier == "lists" else mesh_pallas_hit
@@ -1253,7 +1254,19 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     # every bounce).
     u_b, v_b, fidf = flat_out[5:8]
     fid = jnp.clip(fidf.astype(jnp.int32), 0, ex.shape[0] - 1)
-    cols = jnp.take(ex, fid, axis=0)  # (N, 12)
+    gathered = jnp.take(ex, fid, axis=0)
+    if ex.dtype == jnp.uint32:
+        # winner_table="f16": 24-byte rows of f16 pairs (dev.face_ex_h);
+        # unpack word j -> columns (2j, 2j+1), low half = even column.
+        lo = lax.bitcast_convert_type(
+            (gathered & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+        hi = lax.bitcast_convert_type(
+            (gathered >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+        cols = jnp.stack([lo, hi], axis=-1).reshape(gathered.shape[0], -1)
+    else:
+        cols = gathered  # (N, 12) f32
     extras = []
     if with_uv:
         extras += [

@@ -163,6 +163,7 @@ def render_sample(
                 mesh_pallas=options.mesh_pallas,
                 mesh_sort=options.mesh_sort,
                 mesh_tier=options.mesh_tier,
+                winner_table=options.winner_table,
             )
             return h, h
 
@@ -177,6 +178,7 @@ def render_sample(
             mesh_pallas=options.mesh_pallas,
             mesh_sort=options.mesh_sort,
             mesh_tier=options.mesh_tier,
+            winner_table=options.winner_table,
         )
         new_cache = cache
 
@@ -212,6 +214,7 @@ def render_sample(
                 mesh_pallas=options.mesh_pallas,
                 mesh_sort=options.mesh_sort,
                 mesh_tier=options.mesh_tier,
+                winner_table=options.winner_table,
             )
             u = lax.dynamic_slice_in_dim(U, 4 + 3 * depth_idx, 3, axis=0)
             if do_sort:

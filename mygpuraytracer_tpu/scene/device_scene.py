@@ -96,6 +96,12 @@ class DeviceScene(NamedTuple):
     # streamed 16-row layout are dropped here: cols 0-5 uv coefficients,
     # cols 6-11 unit tangent/bitangent.
     face_ex_t: jnp.ndarray  # f32[Fp, 12] (or [1, 12])
+    # f16-packed copy of face_ex_t for RenderOptions.winner_table="f16":
+    # word j holds columns (2j, 2j+1) as IEEE half pairs (low half = even
+    # column), so the per-bounce winner gather reads 24-byte rows instead
+    # of 48 (gather cost scales with row bytes). Lossy: uv coefficients
+    # round to ~5e-4 relative — within half a texel at 256^2 maps.
+    face_ex_h: jnp.ndarray  # u32[Fp, 6] (or [1, 6])
     # Sublane-shifted face quantities for the row-granular mesh tier
     # (mesh_tier='rows'): row q*8+s, lane c*128+l = quantity q of face
     # (c*128 + (l + 16*s) % 128) — so one (8,128) block of quantity q holds
@@ -304,6 +310,15 @@ def build_device_scene(
         for j in range(u8.shape[1]):
             w |= u8[:, j].astype(np.uint32) << np.uint32(8 * j)
         return w
+
+    def _pack_f16_pairs(f32):
+        """Pack a (n, 2k) float32 array into (n, k) uint32 of f16 pairs
+        (even column in the low half) — half-width gather rows for the
+        winner_table="f16" mode."""
+        h = np.ascontiguousarray(f32.astype(np.float16)).view(np.uint16)
+        lo = h[:, 0::2].astype(np.uint32)
+        hi = h[:, 1::2].astype(np.uint32)
+        return lo | (hi << np.uint32(16))
 
     def add_texture(tex) -> int:
         nonlocal offset
@@ -574,6 +589,8 @@ def build_device_scene(
         # cols 0-5 uv coefficients, 6-11 tangent/bitangent
         face_ex_t=jnp.asarray(np.ascontiguousarray(
             face_plane_ex[list(range(6)) + list(range(8, 14))].T)),
+        face_ex_h=jnp.asarray(_pack_f16_pairs(np.ascontiguousarray(
+            face_plane_ex[list(range(6)) + list(range(8, 14))].T))),
         face_shift=jnp.asarray(face_shift),
         mat_color=jnp.asarray(mat_color),
         mat_spec_color=jnp.asarray(mat_spec_color),

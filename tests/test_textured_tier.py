@@ -202,3 +202,38 @@ def test_mixed_resolution_falls_back_to_per_map_atlas():
     alb = albedo_soa(meta, dev, hit)
     arr = np.stack([np.asarray(alb.x), np.asarray(alb.y), np.asarray(alb.z)])
     assert np.isfinite(arr).all() and arr.max() > 0
+
+
+@pytest.mark.parametrize("with_bump", [False, True])
+def test_winner_table_f16_matches_f32(with_bump):
+    """winner_table="f16" (24-byte gather rows) vs the exact f32 table.
+
+    The intersection stream is untouched — t/hit/face selection must be
+    bitwise identical; only the deferred uv/TBN fetch quantizes, bounded
+    by f16 rounding of the uv coefficients (~5e-4 relative) and of the
+    tangent frame."""
+    dev, meta = build_device_scene(_wavy_mesh_scene(with_bump=with_bump), 128)
+    o, d = _rays(8 * 128 + 61)
+
+    f32 = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True,
+                        mesh_tier="rows")
+    f16 = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True,
+                        mesh_tier="rows", winner_table="f16")
+
+    assert (np.asarray(f16.hit) == np.asarray(f32.hit)).all()
+    np.testing.assert_array_equal(np.asarray(f16.t), np.asarray(f32.t))
+    m = np.asarray(f32.is_obj) & np.asarray(f32.hit)
+    assert m.sum() > 200
+    for a, b in ((f16.u, f32.u), (f16.v, f32.v)):
+        assert np.isclose(
+            np.asarray(a)[m], np.asarray(b)[m], rtol=0, atol=2e-3
+        ).all()
+    # a uv shift can flip a nearest-texel fetch only at texel boundaries
+    for a, b in ((f16.kd, f32.kd), (f16.ks, f32.ks), (f16.ke, f32.ke)):
+        assert (np.asarray(a)[m] == np.asarray(b)[m]).mean() > 0.99
+    for a, b in (
+        (f16.normal.x, f32.normal.x),
+        (f16.normal.y, f32.normal.y),
+        (f16.normal.z, f32.normal.z),
+    ):
+        assert np.isclose(np.asarray(a)[m], np.asarray(b)[m], atol=5e-3).all()
