@@ -10,7 +10,11 @@ Covers all five BASELINE.md configs plus the denoiser metrics:
   - rmse_{ldr,raw}_denoised_16spp_vs_own_16kspp: RMSE of the denoised
     16 spp cornell render against the framework's own 16384 spp converged
     render (the 1e-2 bar; no CUDA machine exists here, so the own converged
-    render stands in for the CUDA reference — the key name says so).
+    render stands in for the CUDA reference — the key name says so);
+  - denoise9_ms_per_frame / rmse_ldr_denoised9_...: same measurements for
+    the 9-channel normal-guided slot (rt_ldr_alb_nrm, the stronger slot
+    since round 3) under separate keys so the 6-channel trend stays
+    comparable across rounds.
 
 Timing excludes compilation and uses explicit device->host syncs; samples
 are dispatched as one device program per batch.
@@ -173,12 +177,39 @@ def main() -> None:
     except Exception as e:  # keep the headline metric alive no matter what
         print(f"denoise bench failed: {e}", file=sys.stderr)
 
+    # 9-channel variant (rt_ldr_alb_nrm, normal-guided): the stronger slot
+    # since round 3 — reported under its OWN keys so the 6-channel trend
+    # line above stays comparable across rounds.
+    denoise9_ms = None
+    denoised9_16 = None
+    try:
+        if denoise_ms is not None:
+            params9, _ = load_denoiser_params("rt_ldr_alb_nrm")
+
+            def denoise9_once():
+                return denoise_accumulator(
+                    r.image, r.albedo, jnp.int32(r.iteration), params9,
+                    r.meta.resolution, normal=r.normal,
+                )
+
+            out9 = denoise9_once()  # compile
+            np.asarray(out9[:2, :2])
+            t0 = time.perf_counter()
+            runs = 16
+            for _ in range(runs):
+                out9 = denoise9_once()
+            np.asarray(out9[:2, :2])
+            denoise9_ms = 1000 * (time.perf_counter() - t0) / runs
+            denoised9_16 = np.asarray(out9)
+    except Exception as e:
+        print(f"denoise9 bench failed: {e}", file=sys.stderr)
+
     # ---- 3. RMSE of denoised 16 spp vs 16384 spp ground truth ---------------
     # Ground truth is the framework's OWN converged render (no CUDA machine
     # exists here) — the key names say so. Both the display-domain ([0,1]
     # clamped, the LDR filter's native domain) and the raw unclamped RMSE are
     # reported so trends across rounds stay comparable.
-    rmse = rmse_raw = None
+    rmse = rmse_raw = rmse9 = None
     try:
         if denoised_16 is not None:
             gt = Renderer(get_scene("cornell.txt"),
@@ -197,12 +228,14 @@ def main() -> None:
             # display image (emitter pixels carry radiance ~5*pi in the raw
             # accumulator). Score in the same domain, like oidnDenoise's
             # LDR reference compare.
-            diff = np.clip(denoised_16, 0.0, 1.0).astype(np.float64) - np.clip(
-                gt_img, 0.0, 1.0
-            ).astype(np.float64)
+            gt_disp = np.clip(gt_img, 0.0, 1.0).astype(np.float64)
+            diff = np.clip(denoised_16, 0.0, 1.0).astype(np.float64) - gt_disp
             rmse = float(np.sqrt(np.mean(diff * diff)))
             diff_raw = denoised_16.astype(np.float64) - gt_img.astype(np.float64)
             rmse_raw = float(np.sqrt(np.mean(diff_raw * diff_raw)))
+            if denoised9_16 is not None:
+                d9 = np.clip(denoised9_16, 0.0, 1.0).astype(np.float64) - gt_disp
+                rmse9 = float(np.sqrt(np.mean(d9 * d9)))
     except Exception as e:
         print(f"rmse bench failed: {e}", file=sys.stderr)
 
@@ -218,8 +251,10 @@ def main() -> None:
         "ship23k_msamples_per_sec": rnd(ship_ms),
         "shipTex23k_msamples_per_sec": rnd(shiptex_ms),
         "denoise_ms_per_frame": rnd(denoise_ms),
+        "denoise9_ms_per_frame": rnd(denoise9_ms),
         "rmse_ldr_denoised_16spp_vs_own_16kspp": rnd(rmse, 5),
         "rmse_raw_denoised_16spp_vs_own_16kspp": rnd(rmse_raw, 5),
+        "rmse_ldr_denoised9_16spp_vs_own_16kspp": rnd(rmse9, 5),
         "sanity": {
             "finite": bool(np.isfinite(img_obj).all()),
             "nonzero": bool(img_obj.mean() > 0.01),
