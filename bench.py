@@ -126,13 +126,21 @@ def main() -> None:
 
     # textured+bumped 23k-face ship — BASELINE config #4's actual workload
     # ("mesh + kd/ks/emi/bump textures over BVH")
-    shiptex_ms = None
+    shiptex_ms = shiptex_f16_ms = None
     try:
         stx_path = os.path.join(REPO_DIR, "scenes/shipTexOnly.txt")
         if os.path.exists(stx_path):
             _, shiptex_ms = _bench_scene(
                 load_scene(stx_path), megakernel=False, min_time=4.0,
                 max_iters=32, batch=4,
+            )
+            # winner_table="f16": 24-byte winner uv/TBN gather rows —
+            # measured 1.34x on hardware with image mean identical to 5
+            # digits (scripts/probe_winner_f16.py). Separate key; the
+            # exact-f32 trend line above stays comparable across rounds.
+            _, shiptex_f16_ms = _bench_scene(
+                load_scene(stx_path), megakernel=False, min_time=4.0,
+                max_iters=32, batch=4, winner_table="f16",
             )
         else:
             print(f"shipTex bench skipped: {stx_path} not found", file=sys.stderr)
@@ -250,6 +258,7 @@ def main() -> None:
         "cornell_dof_cache_sort_msamples_per_sec": rnd(dof_ms),
         "ship23k_msamples_per_sec": rnd(ship_ms),
         "shipTex23k_msamples_per_sec": rnd(shiptex_ms),
+        "shipTex23k_f16winner_msamples_per_sec": rnd(shiptex_f16_ms),
         "denoise_ms_per_frame": rnd(denoise_ms),
         "denoise9_ms_per_frame": rnd(denoise9_ms),
         "rmse_ldr_denoised_16spp_vs_own_16kspp": rnd(rmse, 5),

@@ -55,6 +55,11 @@ def parse_args(argv=None):
                    default="auto",
                    help="mesh-query reorder before the Pallas tier "
                         "(auto: enabled where measured a win)")
+    p.add_argument("--winner-table", choices=("f32", "f16"), default="f32",
+                   help="deferred winner uv/TBN gather table precision: f16 "
+                        "halves the per-bounce gather rows (measured 1.34x "
+                        "on the textured ship, image mean identical to 5 "
+                        "digits; uv quantizes ~5e-4 relative)")
     from ..utils.platform import add_platform_flag
 
     add_platform_flag(p)
@@ -176,6 +181,7 @@ def main(argv=None) -> int:
         mesh_tier=args.mesh_tier,
         mesh_sort={"auto": None, "off": False}.get(args.mesh_sort,
                                                    args.mesh_sort),
+        winner_table=args.winner_table,
     )
     log = (lambda *a: None) if args.quiet else print
 
