@@ -100,10 +100,15 @@ def main() -> None:
     except Exception as e:
         print(f"glass bench failed: {e}", file=sys.stderr)
     try:
+        # batch=4: the sorted wavefront costs ~1 s/iter at 800^2 (the
+        # per-bounce argsort+gathers dominate) — a 128-iteration program
+        # blows the TPU worker's ~60 s runtime watchdog and CRASHES the
+        # worker, nulling every later metric (reproduced twice 2026-08-18).
         _, dof_ms = _bench_scene(
             get_scene("cornell.txt"), megakernel=False,
             depth_of_field=True, cache_first_bounce=True,
             sort_by_material=True, antialiasing=False,
+            min_time=4.0, max_iters=32, batch=4,
         )
     except Exception as e:
         print(f"dof bench failed: {e}", file=sys.stderr)
