@@ -103,16 +103,22 @@ def test_preview_progressive_and_camera_reset(preview, tmp_path):
     status, page = _get(conn, "/")
     assert status == 200 and b"TPU Path Tracer" in page
 
-    # orbit verb resets accumulation (camchanged -> iteration = 0)
+    # orbit verb resets accumulation (camchanged -> iteration = 0).
+    # Reset detection must be poll-rate robust: under load the loop can
+    # advance several iterations between polls, so ANY decrease vs the
+    # running max proves the accumulator was zeroed (iteration is
+    # otherwise monotone).
+    max_seen = json.loads(_get(conn, "/state")[1])["iteration"]
     _post(conn, "/camera", {"orbit": [5, 3]})
     t0 = time.time()
     saw_reset = False
     while time.time() - t0 < 30:
         st = json.loads(_get(conn, "/state")[1])
-        if st["iteration"] <= 4:
+        if st["iteration"] < max_seen:
             saw_reset = True
             break
-        time.sleep(0.05)
+        max_seen = max(max_seen, st["iteration"])
+        time.sleep(0.01)
     assert saw_reset, "camera change must zero the accumulator"
 
     # save produces the saveImage outputs
