@@ -137,6 +137,10 @@ class PreviewSession:
         )
         self._albedo = self._frame
         self._frame_iter = -1
+        # Monotone count of accumulator resets actually applied (camera
+        # moves); lets clients/tests detect a reset without having to catch
+        # the iteration counter mid-dip between two polls.
+        self.resets = 0
         self.thread = threading.Thread(target=self._loop, daemon=True)
 
     # -- progressive loop (runCuda analog, main.cpp:221-281) ----------------
@@ -149,6 +153,7 @@ class PreviewSession:
                         look_at=self.orbit.look_at,
                     )
                     self.camera_dirty = False
+                    self.resets += 1
             if self.renderer.iteration >= self.iterations:
                 time.sleep(0.05)
                 continue
@@ -207,6 +212,7 @@ class PreviewSession:
                 "fps": round(self.fps, 1),
                 "zoom": round(self.orbit.zoom, 3),
                 "done": bool(self.renderer.iteration >= self.iterations),
+                "resets": int(self.resets),
                 "saved": list(self.saved),
             }
 

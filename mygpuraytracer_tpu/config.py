@@ -111,6 +111,18 @@ class RenderOptions:
     #   "conds" — the round-2 in-kernel slab+cond walk.
     # All tiers are image-equivalent (parity-tested).
     mesh_tier: str = "rows"
+    # Implementation of the sorted-wavefront bounce (sort_by_material=True;
+    # image bitwise identical across all three — the permutation is the same
+    # stable descending-material order):
+    #   "fused"   — one variadic lax.sort co-sorts every wavefront array
+    #     through a single comparator network (no materialized permutation
+    #     gathers). Default.
+    #   "perm"    — counting-sort permutation (M cumsums + one inverse
+    #     scatter) applied per array.
+    #   "argsort" — the round-2 argsort + per-array take (the BASELINE
+    #     config-#3 pathology: ~36 full-wavefront gathers per bounce at
+    #     ~10 ms each on this TPU); kept for measurement.
+    sort_impl: str = "fused"
 
     @property
     def first_bounce_cache_active(self) -> bool:

@@ -15,6 +15,7 @@ with high early-termination rates.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -50,6 +51,40 @@ def sort_by_material_key(material_id: jnp.ndarray, *arrays: jnp.ndarray):
     Equivalent of thrust::sort_by_key with sortByMaterial comparator
     (pathtrace.cu:512-516,590,612). Descending order is matched by sorting
     the negated key.
+
+    One VARIADIC ``lax.sort`` co-sorts every operand through a single fused
+    comparator network. The previous argsort-then-take form paid one full
+    per-index gather PER ARRAY (~10 ms each at 640k lanes on this TPU —
+    docs/MESH_TIERS.md "per-bounce gathers"), which made the
+    sorted-wavefront BASELINE config ~370x slower than unsorted.
     """
-    order = jnp.argsort(-material_id, stable=True)
-    return (material_id[order], *(a[order] for a in arrays))
+    out = lax_sort_by_neg_key(-material_id, arrays)
+    return (-out[0], *out[1:])
+
+
+def lax_sort_by_neg_key(neg_key: jnp.ndarray, arrays):
+    """Fused variadic stable sort: co-sorts ``arrays`` by ascending
+    ``neg_key`` in one XLA sort op (no materialized permutation gathers)."""
+    return jax.lax.sort((neg_key, *arrays), num_keys=1, is_stable=True)
+
+
+def material_sort_perm(material_id: jnp.ndarray, num_materials: int):
+    """Stable DESCENDING-material permutation via counting sort.
+
+    Returns ``perm`` with ``sorted[i] = orig[perm[i]]`` — identical to
+    ``jnp.argsort(-material_id, stable=True)`` but built from
+    ``num_materials`` cumsum passes + one inverse-permutation scatter
+    instead of a full bitonic argsort (which XLA lowers to on TPU).
+    Material ids are dense geom-material indices in ``[0, num_materials)``
+    with misses at 0 (ops/trace.py), so the bucket loop is static.
+    """
+    n = material_id.shape[0]
+    dest = jnp.zeros(n, jnp.int32)
+    offset = jnp.int32(0)
+    for m in range(num_materials - 1, -1, -1):
+        is_m = material_id == m
+        im = is_m.astype(jnp.int32)
+        rank = exclusive_scan(im)
+        dest = jnp.where(is_m, offset + rank, dest)
+        offset = offset + jnp.sum(im)
+    return jnp.zeros(n, jnp.int32).at[dest].set(jnp.arange(n, dtype=jnp.int32))

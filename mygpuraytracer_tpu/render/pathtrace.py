@@ -32,7 +32,6 @@ from jax import lax
 
 from ..config import RenderOptions
 from ..ops import rng
-from ..ops.compaction import sort_by_material_key
 from ..ops.prng import iteration_uniforms
 from ..ops.trace import HitSoA, intersect_soa
 from ..ops.vec3 import Vec3
@@ -89,7 +88,10 @@ def num_rng_streams(trace_depth: int) -> int:
     return 4 + 3 * trace_depth
 
 
-def _sort_wavefront(state: PathStateSoA, hit: HitSoA, pixel: jnp.ndarray):
+def _sort_wavefront(
+    state: PathStateSoA, hit: HitSoA, pixel: jnp.ndarray,
+    num_materials: int, impl: str = "fused",
+):
     """Material-sorted execution (thrust::sort_by_key, pathtrace.cu:590,612).
 
     Jointly sorts the path state, the intersections, and the pixel map by
@@ -97,13 +99,27 @@ def _sort_wavefront(state: PathStateSoA, hit: HitSoA, pixel: jnp.ndarray):
     Because RNG streams are then gathered by pixel id (matching the
     reference, whose RNG seed hashes the original pixel index,
     pathtrace.cu:409), the rendered image is bitwise identical with sorting
-    on or off — only the execution order changes.
+    on or off — only the execution order changes. The three ``impl`` forms
+    apply the SAME stable permutation (RenderOptions.sort_impl).
     """
     flat_s, tree_s = jax.tree_util.tree_flatten(state)
     flat_h, tree_h = jax.tree_util.tree_flatten(hit)
     ns = len(flat_s)
-    out = sort_by_material_key(hit.material_id, *flat_s, *flat_h, pixel)
-    rest = out[1:]
+    operands = (*flat_s, *flat_h, pixel)
+    if impl == "fused":
+        out = jax.lax.sort((-hit.material_id, *operands), num_keys=1,
+                           is_stable=True)
+        rest = out[1:]
+    elif impl == "perm":
+        from ..ops.compaction import material_sort_perm
+
+        perm = material_sort_perm(hit.material_id, num_materials)
+        rest = tuple(a[perm] for a in operands)
+    elif impl == "argsort":
+        order = jnp.argsort(-hit.material_id, stable=True)
+        rest = tuple(a[order] for a in operands)
+    else:
+        raise ValueError(f"unknown sort_impl {impl!r}")
     state = jax.tree_util.tree_unflatten(tree_s, rest[:ns])
     hit = jax.tree_util.tree_unflatten(tree_h, rest[ns:-1])
     return state, hit, rest[-1]
@@ -195,9 +211,12 @@ def render_sample(
         jnp.where(hit_first, hit0.normal.z, z),
     )
     do_sort = options.sort_by_material and meta.num_geoms > 1 and not options.dir_aov
+    num_materials = int(dev.mat_color.shape[0])
     pixel = jnp.arange(n, dtype=jnp.int32)
     if do_sort:
-        state, hit0, pixel = _sort_wavefront(state, hit0, pixel)
+        state, hit0, pixel = _sort_wavefront(
+            state, hit0, pixel, num_materials, options.sort_impl
+        )
         state = shade_soa(
             meta, dev, state, hit0, U[4][pixel], U[5][pixel], U[6][pixel]
         )
@@ -218,7 +237,9 @@ def render_sample(
             )
             u = lax.dynamic_slice_in_dim(U, 4 + 3 * depth_idx, 3, axis=0)
             if do_sort:
-                s, h, pix = _sort_wavefront(s, h, pix)
+                s, h, pix = _sort_wavefront(
+                    s, h, pix, num_materials, options.sort_impl
+                )
                 return shade_soa(meta, dev, s, h, u[0][pix], u[1][pix], u[2][pix]), pix
             return shade_soa(meta, dev, s, h, u[0], u[1], u[2]), pix
 

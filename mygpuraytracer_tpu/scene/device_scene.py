@@ -131,8 +131,10 @@ class DeviceScene(NamedTuple):
     # ONE [N]-row gather then serves all four per-bounce texel fetches
     # (kd/ks/ke in shade + bump in intersect), vs four separate gathers —
     # per-index gather cost dominates the textured tier (docs/MESH_TIERS.md
-    # "per-bounce gathers"). [1,16] placeholder when not packed.
-    tex_atlas16: jnp.ndarray  # f32[P16,16]
+    # "per-bounce gathers"). The runtime gathers exclusively from the
+    # byte-packed tex_atlas16_w; this f32 field stays a [1,16] placeholder
+    # (a full f32 copy would waste 64 B/texel of HBM + tunnel upload).
+    tex_atlas16: jnp.ndarray  # f32[1,16] placeholder
     # Byte-packed forms of the same atlases: textures are uint8 by contract
     # (scene/structs.py Texture), so a texel row is exactly reconstructible
     # as u8/255 after the gather — and gathering 16-byte uint32 rows instead
@@ -328,7 +330,11 @@ def build_device_scene(
         if img.shape[-1] < 3:
             img = np.repeat(img[..., :1], 3, axis=-1)
         u8 = img[..., :3].reshape(-1, 3)
-        assert u8.dtype == np.uint8, "textures are uint8 by contract"
+        if u8.dtype != np.uint8:  # load_texture normalizes at entry
+            raise TypeError(
+                f"texture image dtype {u8.dtype} reached atlas packing; "
+                "textures are uint8 by contract (utils/png.py load_texture)"
+            )
         flat3 = u8.astype(np.float32) / 255.0
         flat = np.zeros((flat3.shape[0], 4), np.float32)
         flat[:, :3] = flat3
@@ -347,7 +353,6 @@ def build_device_scene(
     tex_meta_arr = np.asarray(tex_meta, np.int32)
 
     # --- Packed per-geom atlas (see DeviceScene.tex_atlas16) ----------------
-    pack_chunks: list[np.ndarray] = [np.zeros((1, 16), np.float32)]
     pack_word_chunks: list[np.ndarray] = [np.zeros((1, 4), np.uint32)]
     pack_table: list[tuple[int, int, int, int, int, int, int]] = []
     pack_off = 1
@@ -369,9 +374,12 @@ def build_device_scene(
             if img.shape[-1] < 3:
                 img = np.repeat(img[..., :1], 3, axis=-1)
             u8 = img[..., :3].reshape(-1, 3)
-            assert u8.dtype == np.uint8, "textures are uint8 by contract"
+            if u8.dtype != np.uint8:  # load_texture normalizes at entry
+                raise TypeError(
+                    f"texture image dtype {u8.dtype} reached atlas packing; "
+                    "textures are uint8 by contract (utils/png.py load_texture)"
+                )
             row_u8[:, 3 * mi:3 * mi + 3] = u8
-        pack_chunks.append(row_u8.astype(np.float32) / 255.0)
         pack_word_chunks.append(np.stack(
             [_pack_words(row_u8[:, 4 * j:4 * j + 4]) for j in range(4)], axis=1))
         pack_table.append((int(geom_kd[gi]), int(geom_ks[gi]),
@@ -379,9 +387,12 @@ def build_device_scene(
                            pack_off, w_, h_))
         pack_off += row_u8.shape[0]
     if not packable:
-        pack_chunks, pack_table = [np.zeros((1, 16), np.float32)], []
+        pack_table = []
         pack_word_chunks = [np.zeros((1, 4), np.uint32)]
-    tex_atlas16 = np.concatenate(pack_chunks, axis=0)
+    # Placeholder only — the runtime gathers from the word atlas exclusively
+    # (ops/trace.py fetch_texels_packed); a full f32 mirror would waste
+    # 64 B/texel of HBM and ~1 GB/s tunnel upload for a dead buffer.
+    tex_atlas16 = np.zeros((1, 16), np.float32)
     tex_atlas16_w = np.concatenate(pack_word_chunks, axis=0)
 
     # --- Faces -> world-space triangle soup --------------------------------

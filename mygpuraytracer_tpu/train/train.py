@@ -358,7 +358,10 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
     # EMA initializes AT the current weights (a zero init would need a long
     # bias-correction burn-in the short fine-tune regimes don't have);
     # resumed runs restore the saved average when the checkpoint carries one.
-    ema_params = (ckpt or {}).get("ema_params") or params
+    # Explicit None check — `or` on a pytree relies on container truthiness
+    # and would misfire for non-dict params containers.
+    _ep = (ckpt or {}).get("ema_params")
+    ema_params = params if _ep is None else _ep
 
     epoch_fn = build_epoch_fn(cfg, optimizer)
 
@@ -418,7 +421,8 @@ def train_device(cfg: TrainConfig, x_imgs, y_imgs, log_fn=None):
                 log_fn(msg)
             if ckpt is not None:
                 params = ckpt["params"]
-                ema_params = ckpt.get("ema_params") or params
+                _ep = ckpt.get("ema_params")
+                ema_params = params if _ep is None else _ep
             break
         rec = {
             "epoch": epoch + 1,

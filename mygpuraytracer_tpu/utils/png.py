@@ -81,6 +81,18 @@ def load_texture(path: str, flip_vertical: bool = True) -> np.ndarray:
     arr = np.asarray(img)
     if arr.ndim == 2:
         arr = arr[..., None]
+    # Normalize to uint8 where textures enter the pipeline: atlas packing
+    # (scene/device_scene.py) byte-packs texels under a uint8 contract, and
+    # stbi_load in the reference likewise returns 8-bit channels. 16-bit
+    # PNGs (PIL yields uint16) and float images are downconverted here.
+    if arr.dtype == np.uint16:
+        arr = (arr >> 8).astype(np.uint8)
+    elif arr.dtype in (np.float32, np.float64):
+        arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    elif arr.dtype == np.bool_:
+        arr = arr.astype(np.uint8) * np.uint8(255)
+    elif arr.dtype != np.uint8:
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
     if flip_vertical:
         arr = arr[::-1]
     return np.ascontiguousarray(arr)

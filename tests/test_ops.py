@@ -194,3 +194,15 @@ def test_sort_by_material_descending():
     skeys, svals = sort_by_material_key(keys, vals)
     np.testing.assert_array_equal(np.asarray(skeys), [3, 3, 2, 2, 1, 0])
     np.testing.assert_array_equal(np.asarray(svals), [2, 4, 0, 5, 3, 1])
+
+
+def test_material_sort_perm_matches_argsort():
+    """Counting-sort permutation == stable descending argsort (the
+    sorted-wavefront "perm" impl must apply the identical lane order)."""
+    from mygpuraytracer_tpu.ops.compaction import material_sort_perm
+
+    rng = np.random.default_rng(7)
+    keys = jnp.asarray(rng.integers(0, 5, size=257), dtype=jnp.int32)
+    perm = material_sort_perm(keys, 5)
+    ref = jnp.argsort(-keys, stable=True)
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(ref))

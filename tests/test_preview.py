@@ -104,20 +104,19 @@ def test_preview_progressive_and_camera_reset(preview, tmp_path):
     assert status == 200 and b"TPU Path Tracer" in page
 
     # orbit verb resets accumulation (camchanged -> iteration = 0).
-    # Reset detection must be poll-rate robust: under load the loop can
-    # advance several iterations between polls, so ANY decrease vs the
-    # running max proves the accumulator was zeroed (iteration is
-    # otherwise monotone).
-    max_seen = json.loads(_get(conn, "/state")[1])["iteration"]
+    # Reset detection must be poll-rate robust: inferring a reset from an
+    # iteration DECREASE can miss when the accumulator re-climbs past the
+    # old max between polls, so /state exposes a monotone `resets` counter
+    # incremented when the render loop actually applies the camera move.
+    resets0 = json.loads(_get(conn, "/state")[1])["resets"]
     _post(conn, "/camera", {"orbit": [5, 3]})
     t0 = time.time()
     saw_reset = False
     while time.time() - t0 < 30:
         st = json.loads(_get(conn, "/state")[1])
-        if st["iteration"] < max_seen:
+        if st["resets"] > resets0:
             saw_reset = True
             break
-        max_seen = max(max_seen, st["iteration"])
         time.sleep(0.01)
     assert saw_reset, "camera change must zero the accumulator"
 

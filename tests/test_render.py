@@ -150,11 +150,22 @@ def test_sort_by_material_identical_image(reference_scenes):
     s = load_scene(str(reference_scenes / "cornellObj.txt"))
     s.set_resolution(48, 48)
     imgs = {}
-    for flag in (False, True):
-        r = Renderer(s, RenderOptions(sort_by_material=flag), seed=3)
+    configs = [
+        ("off", RenderOptions(sort_by_material=False)),
+        # All three sorted-bounce implementations apply the same stable
+        # permutation (RenderOptions.sort_impl) and must agree.
+        ("fused", RenderOptions(sort_by_material=True, sort_impl="fused")),
+        ("perm", RenderOptions(sort_by_material=True, sort_impl="perm")),
+        ("argsort", RenderOptions(sort_by_material=True, sort_impl="argsort")),
+    ]
+    for name, opts in configs:
+        r = Renderer(s, opts, seed=3)
         r.render(iterations=2)
-        imgs[flag] = r.beauty()
-    np.testing.assert_allclose(imgs[True], imgs[False], rtol=1e-5, atol=1e-6)
+        imgs[name] = r.beauty()
+    for name in ("fused", "perm", "argsort"):
+        np.testing.assert_allclose(
+            imgs[name], imgs["off"], rtol=1e-5, atol=1e-6, err_msg=name
+        )
 
 
 def test_bounding_box_identical_image(reference_scenes):
