@@ -138,7 +138,11 @@ def main(argv=None) -> int:
     p.add_argument("--runs", type=int, default=4)
     p.add_argument("--scene-dir", default="/root/reference/scenes")
     p.add_argument("--json", action="store_true")
+    from ..utils.platform import add_platform_flag, force_platform
+
+    add_platform_flag(p)
     args = p.parse_args(argv)
+    force_platform(args.platform)
     results = []
     if args.mode in ("render", "all"):
         results += bench_render(args.scene_dir, json_out=args.json)

@@ -45,15 +45,25 @@ def parse_args(argv=None):
                    help="max relative error vs --ref (default 1e-4, 1e-2 with --half)")
     p.add_argument("--half", action="store_true",
                    help="feed the filter Half3 (float16) images")
+    p.add_argument("--inplace", action="store_true",
+                   help="use the input color buffer as the output buffer "
+                        "(oidnDenoise.cpp:24-37; tiled execution routes "
+                        "through a temp + final copy, unet.cpp:455-460)")
     p.add_argument("--bench", type=int, default=0, metavar="N")
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--affinity", type=int, default=1)
     p.add_argument("-v", "--verbose", type=int, default=0)
+    from ..utils.platform import add_platform_flag
+
+    add_platform_flag(p)
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    from ..utils.platform import force_platform
+
+    force_platform(args.platform)
     from ..denoise import Device, OidnError
     from ..utils.image_io import compare_images, load_image, save_image
 
@@ -103,7 +113,16 @@ def main(argv=None) -> int:
         print("error: no input image", file=sys.stderr)
         return 1
 
-    output = np.zeros(shape, np.float16 if args.half else np.float32)
+    if args.inplace:
+        # output buffer IS the primary input buffer (oidnDenoise.cpp:264-266:
+        # `if (inplace) output = input`); the Filter detects the aliasing and
+        # uses the tiled outputTemp/outputCopy path when needed.
+        output = f.images["color"] if f.images["color"] is not None else (
+            f.images["albedo"] if f.images["albedo"] is not None
+            else f.images["normal"]
+        )
+    else:
+        output = np.zeros(shape, np.float16 if args.half else np.float32)
     f.set_image("output", output)
     if args.filter == "RT":
         f.set("hdr", hdr)

@@ -52,10 +52,55 @@ MAX_IMAGE_DIM = 65536  # core/image.h max
 DEFAULT_MAX_MEMORY_MB = 3000  # unet.h:38
 OVERLAP = round_up(UNET_RECEPTIVE_FIELD // 2, UNET_ALIGNMENT)  # = 96 (unet.h:23)
 
-# Rough f32 activation footprint of the U-Net per input pixel, used for the
-# maxMemoryMB -> tile size computation (the reference sums exact tensor sizes,
-# unet.cpp:199-239; a per-pixel estimate gives the same control surface).
-_BYTES_PER_PIXEL = 4 * (9 + 32 + 32 + 32 + (48 + 48 + 64 + 64 + 80 + 96 * 2) // 4 + 112 + 96 + 64 + 64 + 32 + 3 + 64)
+def _scratch_bytes(tile_h: int, tile_w: int, in_ch: int,
+                   output_temp_bytes: int = 0) -> int:
+    """Exact U-Net activation scratch size for one padded tile.
+
+    Mirrors UNetFilter::buildNet's end-relative offset/liveness computation
+    (core/unet.cpp:356-464) tensor for tensor: each activation is placed
+    below the deepest tensor still live when it is produced, and the scratch
+    is the deepest offset reached. Channel counts are the fixed topology
+    constants (denoise/unet.py); sizes are f32 with 64-byte alignment (the
+    oneDNN channel-blocking pad of the reference is an ISA detail with no
+    TPU analog). ``output_temp_bytes`` adds the in-place tiled outputTemp
+    image (unet.cpp:455-460).
+    """
+    def size(c: int, scale: int) -> int:
+        return round_up(c * (tile_h // scale) * (tile_w // scale) * 4, 64)
+
+    input_ofs = -size(in_ch, 1)
+    enc0 = input_ofs - size(32, 1)
+    pool1 = input_ofs - size(32, 2)
+    enc1 = min(enc0, pool1) - size(32, 1)
+    pool2 = pool1 - size(48, 4)
+    enc2 = pool2 - size(48, 2)
+    pool3 = pool2 - size(64, 8)
+    enc3 = pool3 - size(64, 4)
+    enc4 = pool3 - size(80, 8)
+    enc5a = pool3 - size(96, 16)
+    pool4 = min(enc4, enc5a) - size(80, 16)
+    up4 = pool3 - size(96, 8)
+    enc5b = min(enc5a, up4) - size(96, 16)
+    up3 = pool2 - size(112, 4)
+    dec4b = up3 - size(112, 8)
+    dec4a = min(up4, dec4b) - size(112, 8)
+    up2 = pool1 - size(96, 2)
+    dec3b = up2 - size(96, 4)
+    dec3a = min(up3, dec3b) - size(96, 4)
+    up1 = input_ofs - size(64, 1)
+    dec2b = up1 - size(64, 2)
+    dec2a = min(up2, dec2b) - size(64, 2)
+    dec1b = 0 - size(32, 1)
+    dec1a = min(up1, dec1b) - size(64, 1)
+    dec0 = dec1b - size(3, 1)
+    min_ofs = min(enc1, enc2, enc3, pool4, enc5b,
+                  dec4a, dec3a, dec2a, dec1a, dec0)
+    min_ofs -= output_temp_bytes
+    return -min_ofs
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return (a + b - 1) // b
 
 
 class Device:
@@ -313,34 +358,83 @@ class Filter:
         self.dirty = False
         self._committed = True
 
-    # -- tiling (unet.cpp:199-239) --------------------------------------------
-    def _plan_tiles(self, h: int, w: int) -> None:
-        max_mb = int(self.params["maxMemoryMB"])
-        Hp = round_up(h, UNET_ALIGNMENT)
-        Wp = round_up(w, UNET_ALIGNMENT)
-        budget_px = (max_mb * (1 << 20)) // _BYTES_PER_PIXEL if max_mb > 0 else 0
-        # Minimum tile: overlap halo on both sides plus a useful output core
-        # (128 px), so forced tiling (maxMemoryMB=0) still makes progress.
-        min_tile = 2 * OVERLAP + 8 * UNET_ALIGNMENT
+    # -- tiling (unet.cpp:199-239 computeTileSize, exact accounting) ---------
+    def _output_aliases_input(self) -> bool:
+        output = self.images.get("output")
+        if output is None:
+            return False
+        return any(
+            img is not None and np.shares_memory(output, img)
+            for name, img in self.images.items()
+            if name != "output"
+        )
 
-        tile_h, tile_w = Hp, Wp
-        if budget_px <= 0 or Hp * Wp > budget_px:
-            # Shrink tiles (keeping multiples of the alignment) until the
-            # padded tile fits the budget; maxMemoryMB=0 forces minimum tiles.
-            side = int(math.sqrt(budget_px)) if budget_px > 0 else min_tile
-            side = max(min_tile, (side // UNET_ALIGNMENT) * UNET_ALIGNMENT)
-            tile_h = min(Hp, side)
-            tile_w = min(Wp, side)
+    def _plan_tiles(self, h: int, w: int) -> None:
+        """UNetFilter::computeTileSize: split H (then W) until the exact
+        scratch size (_scratch_bytes, the buildNet liveness sum) fits the
+        maxMemoryMB budget; min tile 3*overlap."""
+        max_scratch = int(self.params["maxMemoryMB"]) * (1 << 20)
+        min_tile = 3 * OVERLAP
+        in_ch = sum(3 for f in self._features() if f)
+        inplace = self._output_aliases_input()
+
+        tile_count_h = tile_count_w = 1
+        tile_h = round_up(h, UNET_ALIGNMENT)
+        tile_w = round_up(w, UNET_ALIGNMENT)
+
+        def scratch() -> int:
+            temp = 0
+            if inplace and tile_count_h * tile_count_w > 1:
+                temp = round_up(3 * h * w * 4, 64)  # outputTemp, unet.cpp:455
+            return _scratch_bytes(tile_h, tile_w, in_ch, temp)
+
+        while scratch() > max_scratch:
+            if tile_h > min_tile and tile_h > tile_w:
+                tile_count_h += 1
+                tile_h = max(
+                    round_up(_ceil_div(h - 2 * OVERLAP, tile_count_h),
+                             UNET_ALIGNMENT) + 2 * OVERLAP,
+                    min_tile,
+                )
+            elif tile_w > min_tile:
+                tile_count_w += 1
+                tile_w = max(
+                    round_up(_ceil_div(w - 2 * OVERLAP, tile_count_w),
+                             UNET_ALIGNMENT) + 2 * OVERLAP,
+                    min_tile,
+                )
+            else:
+                break
+
         self.tile_shape = (tile_h, tile_w)
+        # Final tile counts (unet.cpp:228-230).
+        self.tile_counts = (
+            _ceil_div(h - 2 * OVERLAP, tile_h - 2 * OVERLAP) if h > tile_h else 1,
+            _ceil_div(w - 2 * OVERLAP, tile_w - 2 * OVERLAP) if w > tile_w else 1,
+        )
 
     def _tile_grid(self, h: int, w: int):
-        """Output-tile origins. Core regions step by tile - 2*overlap."""
+        """Reference-shaped tile list [(oh, ow, out_h, out_w)]: output-region
+        origin and extent per tile, enumerated exactly like the execute()
+        loop of core/unet.cpp:149-186 (interior tiles own tile-2*overlap
+        rows/cols; border tiles keep their outer halo as output)."""
         tile_h, tile_w = self.tile_shape
-        step_h = max(tile_h - 2 * OVERLAP, 1) if tile_h < round_up(h, UNET_ALIGNMENT) else tile_h
-        step_w = max(tile_w - 2 * OVERLAP, 1) if tile_w < round_up(w, UNET_ALIGNMENT) else tile_w
-        rows = list(range(0, h, step_h))
-        cols = list(range(0, w, step_w))
-        return rows, cols, step_h, step_w
+        count_h, count_w = self.tile_counts
+        tiles = []
+        for i in range(count_h):
+            hin = i * (tile_h - 2 * OVERLAP)
+            beg_h = OVERLAP if i > 0 else 0
+            end_h = OVERLAP if i < count_h - 1 else 0
+            th1 = min(h - hin, tile_h)
+            out_h = th1 - beg_h - end_h
+            for j in range(count_w):
+                win = j * (tile_w - 2 * OVERLAP)
+                beg_w = OVERLAP if j > 0 else 0
+                end_w = OVERLAP if j < count_w - 1 else 0
+                tw1 = min(w - win, tile_w)
+                out_w = tw1 - beg_w - end_w
+                tiles.append((hin + beg_h, win + beg_w, out_h, out_w))
+        return tiles
 
     # -- execute ---------------------------------------------------------------
     def execute(self) -> None:
@@ -376,17 +470,28 @@ class Filter:
                 scale = 1.0
         transfer = color_mod.make_transfer(self._transfer_kind(), float(scale))
 
-        rows, cols, step_h, step_w = self._tile_grid(h, w)
-        n_tiles = len(rows) * len(cols)
+        tiles = self._tile_grid(h, w)
+        n_tiles = len(tiles)
+        # In-place + tiled: later tiles must read input pixels the earlier
+        # tiles would have overwritten, so route writes through a temp and
+        # copy once at the end — the outputTemp/outputCopy path of
+        # core/unet.cpp:455-460,187-189. Single-tile in-place writes direct
+        # (the tile pipeline reads its whole input window before writing).
+        dest = output
+        if self._output_aliases_input() and n_tiles > 1:
+            dest = np.zeros((h, w) + output.shape[2:], output.dtype)
         done = 0
-        for oh in rows:
-            for ow in cols:
-                self._run_tile(oh, ow, step_h, step_w, h, w, transfer, output)
-                done += 1
-                self._progress(done / n_tiles)
+        for oh, ow, out_h, out_w in tiles:
+            self._run_tile(oh, ow, out_h, out_w, h, w, transfer, dest)
+            done += 1
+            self._progress(done / n_tiles)
+        if dest is not output:
+            output[...] = dest  # outputCopy (unet.cpp:187-189)
         self._progress(1.0)
 
-    def _run_tile(self, oh, ow, step_h, step_w, h, w, transfer, output) -> None:
+    def _run_tile(self, oh, ow, out_h, out_w, h, w, transfer, output) -> None:
+        """Denoise one tile; write its [oh:oh+out_h, ow:ow+out_w] output
+        region (the reference's outputReorder->setTile, unet.cpp:168-176)."""
         tile_h, tile_w = self.tile_shape
         # Input window (with overlap), clamped to the image.
         ih0 = max(oh - OVERLAP, 0)
@@ -422,11 +527,11 @@ class Filter:
             )
         )
 
-        # Valid output region of this tile: skip overlap except at borders.
+        # This tile's output region inside the computed window.
         vh0 = oh - ih0  # offset of output rows inside the tile
         vw0 = ow - iw0
-        vh1 = min(vh0 + step_h, ih1 - ih0)
-        vw1 = min(vw0 + step_w, iw1 - iw0)
+        vh1 = min(vh0 + out_h, ih1 - ih0)
+        vw1 = min(vw0 + out_w, iw1 - iw0)
         output[oh : oh + (vh1 - vh0), ow : ow + (vw1 - vw0)] = out_np[vh0:vh1, vw0:vw1]
 
     def _network_dtype(self):

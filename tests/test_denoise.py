@@ -450,3 +450,169 @@ def test_strided_view_bounds_checked():
         f.set_image("color", buf, width=10, height=10)  # needs 300 floats
     with pytest.raises(OidnError):
         f.set_image("color", np.zeros((4, 4, 3), np.float64))  # bad dtype
+
+
+# ----------------------------------------------------------------------------
+# Independent numeric U-Net golden
+
+
+def _np_conv3x3(x, w_oihw, b, relu=True):
+    """Reference conv in pure numpy: 3x3, stride 1, pad 1, NHWC input,
+    weights in the TZA's native oihw layout. Written with padded sliding
+    windows + tensordot — structurally independent of XLA's conv."""
+    o, i, kh, kw = w_oihw.shape
+    n, h, wd, c = x.shape
+    assert c == i and (kh, kw) == (3, 3)
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = np.zeros((n, h, wd, o), np.float64)
+    for dy in range(3):
+        for dx in range(3):
+            # window x[:, y+dy-1, x+dx-1, :] . w[:, :, dy, dx]
+            y += np.tensordot(
+                xp[:, dy:dy + h, dx:dx + wd, :].astype(np.float64),
+                w_oihw[:, :, dy, dx].astype(np.float64).T,
+                axes=([3], [0]),
+            )
+    y += b.astype(np.float64)
+    return np.maximum(y, 0.0) if relu else y
+
+
+def _np_pool(x):
+    n, h, w, c = x.shape
+    return x.reshape(n, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
+def _np_upsample(x):
+    return x.repeat(2, axis=1).repeat(2, axis=2)
+
+
+def test_unet_numeric_golden_vs_numpy(tmp_path):
+    """Pin unet_apply + the TZA oihw->HWIO ingestion numerically against an
+    independent numpy conv chain (sliding-window tensordot), tolerance 1e-5
+    — the fp32 analog of the reference's own <=1e-4 max-rel-error regression
+    bar (apps/oidnDenoise.cpp:362). Guards topology, concat order (upsampled
+    first, then skip — unet.cpp:530-566), pool/upsample semantics, and the
+    weight transpose against silent regression.
+    """
+    from mygpuraytracer_tpu.denoise.tza import read_tza, write_tza
+    from mygpuraytracer_tpu.denoise.unet import unet_apply
+
+    rng = np.random.default_rng(42)
+    ic, oc = 9, 3
+    tensors = {}
+    for name, cin, cout in conv_specs(ic, oc):
+        w = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
+        w *= np.sqrt(2.0 / (9 * cin)).astype(np.float32)
+        b = (0.1 * rng.standard_normal(cout)).astype(np.float32)
+        tensors[f"{name}.weight"] = (w, "oihw")
+        tensors[f"{name}.bias"] = (b, "x")
+
+    # Round-trip through the TZA archive so the on-disk ingest path is the
+    # thing under test, exactly as real OIDN blobs would enter.
+    path = str(tmp_path / "golden.tza")
+    write_tza(path, tensors)
+    params = params_from_tza(read_tza(path), dtype=jnp.float32)
+
+    x = rng.standard_normal((1, 32, 32, ic)).astype(np.float32)
+    got = np.asarray(unet_apply(params, jnp.asarray(x)))
+
+    # Independent numpy forward pass (float64 accumulation).
+    def cv(t, name, relu=True):
+        return _np_conv3x3(
+            t, tensors[f"{name}.weight"][0], tensors[f"{name}.bias"][0], relu
+        )
+
+    t = x.astype(np.float64)
+    inp = t
+    t = cv(t, "enc_conv0")
+    t = cv(t, "enc_conv1")
+    t = pool1 = _np_pool(t)
+    t = cv(t, "enc_conv2")
+    t = pool2 = _np_pool(t)
+    t = cv(t, "enc_conv3")
+    t = pool3 = _np_pool(t)
+    t = cv(t, "enc_conv4")
+    t = _np_pool(t)
+    t = cv(t, "enc_conv5a")
+    t = cv(t, "enc_conv5b")
+    t = np.concatenate([_np_upsample(t), pool3], axis=-1)
+    t = cv(t, "dec_conv4a")
+    t = cv(t, "dec_conv4b")
+    t = np.concatenate([_np_upsample(t), pool2], axis=-1)
+    t = cv(t, "dec_conv3a")
+    t = cv(t, "dec_conv3b")
+    t = np.concatenate([_np_upsample(t), pool1], axis=-1)
+    t = cv(t, "dec_conv2a")
+    t = cv(t, "dec_conv2b")
+    t = np.concatenate([_np_upsample(t), inp], axis=-1)
+    t = cv(t, "dec_conv1a")
+    t = cv(t, "dec_conv1b")
+    want = cv(t, "dec_conv0", relu=False)
+
+    scale = np.abs(want).max()
+    assert scale > 0.1  # the net actually produced signal
+    max_rel = np.abs(got - want).max() / scale
+    assert max_rel < 1e-5, f"max rel error {max_rel:.2e}"
+
+
+def test_inplace_tiled_outputcopy():
+    """In-place filtering (output buffer == color buffer) must equal
+    out-of-place, including under tiling where later tiles would otherwise
+    read already-denoised pixels — the outputTemp/outputCopy path
+    (core/unet.cpp:455-460,187-189; oidnDenoise.cpp:264-266)."""
+    rng = np.random.default_rng(3)
+    n = 520  # forces multiple tiles at maxMemoryMB=0
+
+    def run(inplace: bool, max_mem: int) -> np.ndarray:
+        dev = make_device()
+        f = dev.new_filter("RT")
+        color = rng.random((n, n, 3), np.float32).astype(np.float32)
+        # identical input per run
+        color = np.asarray(color)
+        color.flags.writeable = True
+        f.set_image("color", color)
+        out = color if inplace else np.zeros((n, n, 3), np.float32)
+        f.set_image("output", out)
+        f.set("maxMemoryMB", max_mem)
+        f.commit()
+        f.execute()
+        return out
+
+    # Compare like-for-like: tiled vs tiled, single-tile vs single-tile
+    # (the 96 px-overlap tiling is not bit-exact vs whole-image processing).
+    rng = np.random.default_rng(3)
+    ref_tiled = run(False, 0)
+    rng = np.random.default_rng(3)
+    tiled_inplace = run(True, 0)
+    np.testing.assert_array_equal(tiled_inplace, ref_tiled)
+    rng = np.random.default_rng(3)
+    ref_single = run(False, 3000)
+    rng = np.random.default_rng(3)
+    single_inplace = run(True, 3000)
+    np.testing.assert_array_equal(single_inplace, ref_single)
+
+
+def test_tile_plan_exact_accounting():
+    """maxMemoryMB -> tile counts via the exact buildNet liveness sum
+    (core/unet.cpp:199-239,356-464), not a per-pixel estimate: at 1080p/9ch
+    the whole image is one ~1.09 GB-scratch tile under the default 3000 MB
+    budget, a 64 MB budget splits 6x12, and maxMemoryMB=0 forces the
+    3*overlap minimum tile."""
+    dev = make_device()
+    cases = {3000: (1, 1), 512: (2, 2), 64: (6, 12), 0: (10, 18)}
+    for mb, want in cases.items():
+        f = dev.new_filter("RT")
+        n_h, n_w = 1080, 1920
+        f.set_image("color", make_const_image(n_h, n_w))
+        f.set_image("albedo", make_const_image(n_h, n_w))
+        f.set_image("normal", make_const_image(n_h, n_w))
+        f.set_image("output", np.zeros((n_h, n_w, 3), np.float32))
+        f.set("maxMemoryMB", mb)
+        f.commit()
+        assert f.tile_counts == want, (mb, f.tile_counts)
+        # tile grid covers the image exactly once
+        tiles = f._tile_grid(n_h, n_w)
+        cover = np.zeros((n_h, n_w), np.int32)
+        for oh, ow, th, tw in tiles:
+            cover[oh:oh + th, ow:ow + tw] += 1
+        assert cover.min() == 1 and cover.max() == 1
