@@ -158,3 +158,66 @@ def test_raytrace_cli_multichip(tmp_path, mode):
         return read_png(str(tmp_path / d / fn))
 
     np.testing.assert_allclose(samp("seq"), samp(mode), atol=1.5 / 255)
+
+
+def test_preprocess_cli_roundtrip(tmp_path):
+    """preprocess CLI (training/preprocess.py parity): EXR feature groups ->
+    npy input/target pairs loadable by TileDataset, with the reference's
+    grouping (spp-suffixed inputs, _ref target), transfer + fp16, and the
+    clean_aux input assembly (noisy main + clean aux from the target)."""
+    from mygpuraytracer_tpu.apps.preprocess import main
+    from mygpuraytracer_tpu.train.dataset import TileDataset
+    from mygpuraytracer_tpu.utils.image_io import save_image
+
+    rng = np.random.default_rng(5)
+    data = tmp_path / "data" / "train1"
+    data.mkdir(parents=True)
+    h, w = 40, 48
+    for group in ("scene1", "scene2"):
+        for member in (f"{group}_0016spp", f"{group}_ref"):
+            for feat in ("ldr", "alb", "nrm"):
+                img = rng.random((h, w, 3), np.float32).astype(np.float32)
+                if feat == "nrm":
+                    img = img * 2.0 - 1.0
+                save_image(str(data / f"{member}.{feat}.exr"), img)
+
+    rc = main([
+        "ldr", "albedo", "normal",
+        "-D", str(tmp_path / "data"), "-P", str(tmp_path / "preproc"),
+        "-t", "train1",
+    ])
+    assert rc == 0
+    out = tmp_path / "preproc" / "train1"
+    files = sorted(os.listdir(out))
+    assert "samples.json" in files and "config.json" in files
+    inputs = [f for f in files if f.endswith(".input.npy")]
+    assert len(inputs) == 2  # one noisy input per group
+    x = np.load(out / "scene1_0016spp.input.npy")
+    y = np.load(out / "scene1_0016spp.target.npy")
+    assert x.dtype == np.float16 and y.dtype == np.float16
+    assert x.shape == (h, w, 9) and y.shape == (h, w, 3)
+    # srgb transfer applied to the main channels only: alb/nrm untouched
+    alb_src = np.asarray(
+        __import__("mygpuraytracer_tpu.utils.image_io", fromlist=["load_image"])
+        .load_image(str(data / "scene1_0016spp.alb.exr")), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(x[..., 3:6], np.float32), np.clip(alb_src, 0, 1), atol=2e-3)
+    # the trainer's dataset class accepts the directory wholesale
+    ds = TileDataset(str(out), tile_size=32)
+    bx, by = ds.sample_batch(2)
+    assert bx.shape == (2, 32, 32, 9) and by.shape == (2, 32, 32, 3)
+
+    # clean_aux: input = noisy main + CLEAN aux (from the target image)
+    rc = main([
+        "ldr", "alb", "nrm", "--clean_aux",
+        "-D", str(tmp_path / "data"), "-P", str(tmp_path / "preproc_ca"),
+        "-t", "train1",
+    ])
+    assert rc == 0
+    xc = np.load(tmp_path / "preproc_ca" / "train1" / "scene1_0016spp.input.npy")
+    assert xc.shape == (h, w, 9)
+    ref_alb = np.asarray(
+        __import__("mygpuraytracer_tpu.utils.image_io", fromlist=["load_image"])
+        .load_image(str(data / "scene1_ref.alb.exr")), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(xc[..., 3:6], np.float32), np.clip(ref_alb, 0, 1), atol=2e-3)
