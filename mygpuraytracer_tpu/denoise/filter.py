@@ -470,6 +470,16 @@ class Filter:
                 scale = 1.0
         transfer = color_mod.make_transfer(self._transfer_kind(), float(scale))
 
+        # Device-resident fast path: when no per-tile progress callback is
+        # registered, each input uploads ONCE and every tile is sliced and
+        # denoised on device in a single scanned program, with one transfer
+        # back — the per-tile host round-trips of the monitored path cost
+        # ~34 ms each through this environment's TPU tunnel and dominated
+        # standalone execute() wall time (docs/MESH_TIERS.md "host sync").
+        if self.progress_fn is None:
+            self._execute_device(h, w, transfer)
+            return
+
         tiles = self._tile_grid(h, w)
         n_tiles = len(tiles)
         # In-place + tiled: later tiles must read input pixels the earlier
@@ -488,6 +498,105 @@ class Filter:
         if dest is not output:
             output[...] = dest  # outputCopy (unet.cpp:187-189)
         self._progress(1.0)
+
+    def _stacked_inputs(self, h: int, w: int):
+        """(names, [h,w,C] f32 channel stack) of the present input images."""
+        planes, names = [], []
+        for name in ("color", "albedo", "normal"):
+            img = self.images.get(name)
+            if img is None:
+                continue
+            names.append(name)
+            planes.append(np.ascontiguousarray(img, dtype=np.float32))
+        return tuple(names), np.concatenate(planes, axis=-1)
+
+    def _execute_device(self, h: int, w: int, transfer) -> None:
+        """One-dispatch tiled execute: inputs resident, tiles sliced and
+        stitched on device (lax.scan over a uniform halo grid), one readback.
+
+        Border tiles see edge-replicated halo (vs the monitored path's
+        zero-pad) — both are valid paddings of the same receptive field; the
+        owned output regions tile the image exactly once either way.
+        In-place is safe without outputTemp: every input pixel is read on
+        device before the single host-side write.
+        """
+        output = self.images["output"]
+        names, stacked = self._stacked_inputs(h, w)
+        tile_h, tile_w = self.tile_shape
+        hdr = bool(self.params["hdr"])
+        snorm = self._snorm()
+        has_color = self.images["color"] is not None
+
+        if tile_h >= round_up(h, UNET_ALIGNMENT) and tile_w >= round_up(w, UNET_ALIGNMENT):
+            # Single tile: the whole image is the window (the jitted tile
+            # pipeline pads to alignment internally).
+            out_np = np.asarray(
+                self._tile_pipeline(names, hdr, snorm, has_color)(
+                    self._cast_params(), jnp.asarray(stacked),
+                    jnp.float32(transfer.input_scale),
+                )
+            )
+            output[...] = out_np[:h, :w]
+            self._progress(1.0)
+            return
+
+        step_h = tile_h - 2 * OVERLAP
+        step_w = tile_w - 2 * OVERLAP
+        count_h = _ceil_div(h, step_h)
+        count_w = _ceil_div(w, step_w)
+        # Pad so every tile is full-size and owns exactly step x step output:
+        # OVERLAP of halo on top/left, remainder + halo on bottom/right.
+        padded = np.pad(
+            stacked,
+            ((OVERLAP, count_h * step_h + OVERLAP - h),
+             (OVERLAP, count_w * step_w + OVERLAP - w), (0, 0)),
+            mode="edge",
+        )
+        run = self._grid_pipeline(
+            names, hdr, snorm, has_color, count_h, count_w)
+        out_np = np.asarray(run(
+            self._cast_params(), jnp.asarray(padded),
+            jnp.float32(transfer.input_scale),
+        ))
+        output[...] = out_np[:h, :w]
+        self._progress(1.0)
+
+    def _grid_pipeline(self, names, hdr, snorm, has_color, count_h, count_w):
+        """Jitted whole-grid execute for one (inputs, tiling) configuration."""
+        key = (names, hdr, snorm, has_color, self.tile_shape,
+               count_h, count_w, self._transfer_kind())
+        fn = self._jitted.get(key)
+        if fn is not None:
+            return fn
+        transfer_kind = self._transfer_kind()
+        dtype = self._network_dtype()
+        tile_h, tile_w = self.tile_shape
+        step_h = tile_h - 2 * OVERLAP
+        step_w = tile_w - 2 * OVERLAP
+
+        @jax.jit
+        def run(params, padded, input_scale):
+            tf = color_mod.make_transfer(transfer_kind, input_scale)
+            c = padded.shape[-1]
+
+            def body(out, ij):
+                i, j = ij // count_w, ij % count_w
+                r0, c0 = i * step_h, j * step_w
+                window = jax.lax.dynamic_slice(
+                    padded, (r0, c0, 0), (tile_h, tile_w, c))
+                x = _pack_input(names, window, tf, hdr, snorm, has_color)
+                y = unet_apply(params, x.astype(dtype)[None])[0]
+                y = _unpack_output(y.astype(jnp.float32), tf, hdr, snorm)
+                core = jax.lax.dynamic_slice(
+                    y, (OVERLAP, OVERLAP, 0), (step_h, step_w, 3))
+                return jax.lax.dynamic_update_slice(out, core, (r0, c0, 0)), None
+
+            out0 = jnp.zeros((count_h * step_h, count_w * step_w, 3), jnp.float32)
+            out, _ = jax.lax.scan(body, out0, jnp.arange(count_h * count_w))
+            return out
+
+        self._jitted[key] = run
+        return run
 
     def _run_tile(self, oh, ow, out_h, out_w, h, w, transfer, output) -> None:
         """Denoise one tile; write its [oh:oh+out_h, ow:ow+out_w] output

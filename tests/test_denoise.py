@@ -563,7 +563,7 @@ def test_inplace_tiled_outputcopy():
     rng = np.random.default_rng(3)
     n = 520  # forces multiple tiles at maxMemoryMB=0
 
-    def run(inplace: bool, max_mem: int) -> np.ndarray:
+    def run(inplace: bool, max_mem: int, monitored: bool = False) -> np.ndarray:
         dev = make_device()
         f = dev.new_filter("RT")
         color = rng.random((n, n, 3), np.float32).astype(np.float32)
@@ -574,6 +574,10 @@ def test_inplace_tiled_outputcopy():
         out = color if inplace else np.zeros((n, n, 3), np.float32)
         f.set_image("output", out)
         f.set("maxMemoryMB", max_mem)
+        if monitored:
+            # a registered monitor forces the per-tile host path, which is
+            # where the outputTemp/outputCopy machinery lives
+            f.set_progress_monitor_function(lambda p: True)
         f.commit()
         f.execute()
         return out
@@ -590,6 +594,14 @@ def test_inplace_tiled_outputcopy():
     rng = np.random.default_rng(3)
     single_inplace = run(True, 3000)
     np.testing.assert_array_equal(single_inplace, ref_single)
+
+    # Monitored (per-tile host) path: in-place tiled goes through
+    # outputTemp + outputCopy (unet.cpp:455-460,187-189).
+    rng = np.random.default_rng(3)
+    ref_mon = run(False, 0, monitored=True)
+    rng = np.random.default_rng(3)
+    mon_inplace = run(True, 0, monitored=True)
+    np.testing.assert_array_equal(mon_inplace, ref_mon)
 
 
 def test_tile_plan_exact_accounting():
