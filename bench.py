@@ -135,17 +135,18 @@ def main() -> None:
     try:
         stx_path = os.path.join(REPO_DIR, "scenes/shipTexOnly.txt")
         if os.path.exists(stx_path):
-            _, shiptex_ms = _bench_scene(
+            # default (winner_table="auto" -> f16 on TPU since round 4):
+            # 24-byte winner uv/TBN gather rows, measured 1.34x on hardware
+            # with image mean identical to 5 digits (probe_winner_f16.py).
+            _, shiptex_f16_ms = _bench_scene(
                 load_scene(stx_path), megakernel=False, min_time=4.0,
                 max_iters=32, batch=4,
             )
-            # winner_table="f16": 24-byte winner uv/TBN gather rows —
-            # measured 1.34x on hardware with image mean identical to 5
-            # digits (scripts/probe_winner_f16.py). Separate key; the
-            # exact-f32 trend line above stays comparable across rounds.
-            _, shiptex_f16_ms = _bench_scene(
+            # exact-f32 table under its own key so the round 2-3 trend
+            # line stays comparable across rounds.
+            _, shiptex_ms = _bench_scene(
                 load_scene(stx_path), megakernel=False, min_time=4.0,
-                max_iters=32, batch=4, winner_table="f16",
+                max_iters=32, batch=4, winner_table="f32",
             )
         else:
             print(f"shipTex bench skipped: {stx_path} not found", file=sys.stderr)

@@ -89,13 +89,16 @@ class RenderOptions:
     #     host-side bounce-0 AABB-reach estimate is < 30% (VERDICT r2 §2).
     mesh_sort: bool | str | None = None
     # Precision of the rows tier's deferred winner uv/TBN gather table:
-    #   "f32" (default) — [Fp,12] float32, exact.
+    #   "auto" (default) — f16 on TPU, f32 on CPU (Renderer resolves at
+    #     construction; CPU keeps exact f32 so goldens are platform-stable).
+    #   "f32" — [Fp,12] float32, exact.
     #   "f16" — [Fp,6] uint32 of packed half pairs: 24-byte gather rows
     #     instead of 48 (the per-bounce winner gather is the dominant
-    #     remaining textured-tier cost, docs/MESH_TIERS.md "byte-packed").
-    #     Lossy: uv coefficients round to ~5e-4 relative (< half a texel
-    #     at 256^2 maps); TBN precision is ample for bump perturbation.
-    winner_table: str = "f32"
+    #     remaining textured-tier cost, docs/MESH_TIERS.md "byte-packed":
+    #     shipTexOnly 800^2 1.60 -> 2.15 Msam/s). Lossy only in the
+    #     deferred uv/TBN fetch: t/hit bitwise identical by construction,
+    #     uv rounds ~5e-4 relative (< half a texel at 256^2 maps).
+    winner_table: str = "auto"
     # Which Pallas mesh kernel runs the cluster visits (docs/MESH_TIERS.md):
     #   "rows"  — row-granular shifted-face kernel (16-step visits per
     #     128-ray row; visit lists at tile=128). Production default: the

@@ -315,3 +315,148 @@ def megakernel_sample(meta, options, camera, face_plane, iteration, base_key):
         base_key,
     )
     return img, alb, nrm
+
+
+# ---------------------------------------------------------------------------
+# Bounce megakernel: the cluster-BVH mesh tier fused with shading.
+#
+# The FULL iteration megakernel (raygen + iteration-fori + SMEM scalars +
+# aliasing) crashes the Mosaic compiler when the BVH tier is fused in
+# (array.h:480 CHECK, docs/MESH_TIERS.md bisection) — but the bisection also
+# showed each crash-contributing feature passes individually on top of the
+# bounce-loop core (P5-P7 + one feature probes). This variant keeps ONLY the
+# SMEM seed and drops the rest: raygen is hoisted to XLA (reference-exact
+# generate_camera_rays, pathtrace.cu:225-293), the iteration loop is an XLA
+# fori around the pallas_call, accumulators add outside (no aliasing), and
+# every trip count is static. What remains inside is the whole bounce loop —
+# cluster-BVH intersect + BSDF shade + hardware PRNG — so the per-bounce
+# wavefront HBM round-trips (~10 arrays x N per bounce) and the full-N
+# elementwise floor disappear for mesh scenes too.
+
+
+def _make_bounce_kernel(meta, options):
+    width, height = meta.resolution
+    n = width * height
+    trace_depth = meta.trace_depth
+    shape = (ROWS, LANES)
+
+    def scene_hit(fp_ref, o, d):
+        parts = []
+        for s in range(0, ROWS, MESH_SUB_ROWS):
+            e = s + MESH_SUB_ROWS
+            parts.append(
+                bvh_scene_hit(
+                    meta, fp_ref,
+                    Vec3(o.x[s:e], o.y[s:e], o.z[s:e]),
+                    Vec3(d.x[s:e], d.y[s:e], d.z[s:e]),
+                )
+            )
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+    def kernel(
+        sc_ref, fp_ref, ox, oy, oz, dx, dy, dz,
+        r_ref, g_ref, b_ref, ar_ref, ag_ref, ab_ref, nr_ref, ng_ref, nb_ref,
+    ):
+        pid = pl.program_id(0)
+        # Stream depends on (seed+iteration, block) only — same mixing as the
+        # iteration megakernel, so results are batching-independent.
+        pltpu.prng_seed(sc_ref[0] * jnp.int32(_MIX) + pid)
+        base = pid * (ROWS * LANES)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        colm = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        in_image = (base + row * LANES + colm) < n
+
+        ones = jnp.ones(shape, jnp.float32)
+        state = PathStateSoA(
+            origin=Vec3(ox[:, :], oy[:, :], oz[:, :]),
+            direction=Vec3(dx[:, :], dy[:, :], dz[:, :]),
+            color=Vec3(ones, ones * 1.0, ones * 1.0),
+            remaining=jnp.full(shape, trace_depth, jnp.int32),
+        )
+
+        hit0 = scene_hit(fp_ref, state.origin, state.direction)
+        albedo = albedo_soa(meta, None, hit0)
+        first_hit = hit0
+        state = shade_soa(
+            meta, None, state, hit0,
+            _uniform(shape), _uniform(shape), _uniform(shape),
+        )
+
+        def bounce(s: PathStateSoA) -> PathStateSoA:
+            h = scene_hit(fp_ref, s.origin, s.direction)
+            return shade_soa(
+                meta, None, s, h,
+                _uniform(shape), _uniform(shape), _uniform(shape),
+            )
+
+        def guarded(i, s):
+            return lax.cond(jnp.any(s.remaining > 0), bounce, lambda x: x, s)
+
+        state = lax.fori_loop(1, trace_depth, guarded, state)
+
+        mask = in_image.astype(jnp.float32)
+        r_ref[:, :] = state.color.x * (PI * mask)
+        g_ref[:, :] = state.color.y * (PI * mask)
+        b_ref[:, :] = state.color.z * (PI * mask)
+        ar_ref[:, :] = albedo.x * mask
+        ag_ref[:, :] = albedo.y * mask
+        ab_ref[:, :] = albedo.z * mask
+        nm = first_hit.hit.astype(jnp.float32) * mask
+        nr_ref[:, :] = first_hit.normal.x * nm
+        ng_ref[:, :] = first_hit.normal.y * nm
+        nb_ref[:, :] = first_hit.normal.z * nm
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "options"))
+def bvh_bounce_accumulate(
+    meta, options, camera, face_plane, image: Vec3, albedo: Vec3, normal: Vec3,
+    start_iteration, num_iters, base_key,
+):
+    """megakernel_accumulate-compatible batch accumulate for BVH scenes:
+    XLA fori over iterations, each = XLA raygen -> one bounce-kernel call."""
+    from ..ops import rng as rng_mod
+    from ..ops.prng import iteration_uniforms
+    from .camera import generate_camera_rays
+
+    width, height = meta.resolution
+    n = width * height
+    n_pad = _pad_to_tiles(n)
+    grid = (n_pad // (ROWS * LANES),)
+    seed = jax.random.randint(base_key, (), 0, 2**31 - 1, dtype=jnp.int32)
+
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)] * 9
+    call = pl.pallas_call(
+        _make_bounce_kernel(meta, options),
+        grid=grid,
+        in_specs=[smem, pl.BlockSpec(memory_space=pltpu.VMEM)] + [spec] * 6,
+        out_specs=[spec] * 9,
+        out_shape=out_shape,
+    )
+
+    def to2d(a):
+        return jnp.zeros((n_pad,), jnp.float32).at[:n].set(a).reshape(
+            n_pad // LANES, LANES)
+
+    def body(i, carry):
+        image, alb, nrm = carry
+        iteration = start_iteration + i
+        ikey = rng_mod.iteration_key(base_key, iteration)
+        U = iteration_uniforms(options, ikey, iteration, 4, n)
+        o, d = generate_camera_rays(camera, meta.resolution, options, U)
+        sc = (seed + iteration).reshape(1)
+        outs = call(sc, face_plane,
+                    to2d(o.x), to2d(o.y), to2d(o.z),
+                    to2d(d.x), to2d(d.y), to2d(d.z))
+        flat = [a.reshape(-1)[:n] for a in outs]
+        color, a, nn = Vec3(*flat[:3]), Vec3(*flat[3:6]), Vec3(*flat[6:9])
+        image = Vec3(image.x + color.x, image.y + color.y, image.z + color.z)
+        first = iteration == 1
+        alb = v3.where(jnp.full((n,), first), a, alb)
+        nrm = v3.where(jnp.full((n,), first), nn, nrm)
+        return (image, alb, nrm)
+
+    return lax.fori_loop(0, num_iters, body, (image, albedo, normal))

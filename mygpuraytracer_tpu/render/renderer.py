@@ -101,6 +101,21 @@ def _resolve_auto_options(options: RenderOptions, scene: Scene, meta) -> RenderO
     return dataclasses.replace(options, mesh_sort=use)
 
 
+def _resolve_winner_table(options: RenderOptions) -> RenderOptions:
+    """winner_table="auto": f16 on TPU, f32 on CPU.
+
+    The f16 deferred winner uv/TBN table halves the dominant per-bounce
+    gather rows (24 vs 48 bytes: shipTexOnly 800^2 1.60 -> 2.15 Msam/s)
+    with t/hit bitwise identical by construction and image means equal to
+    5 digits; the cottage cross-check was bitwise identical
+    (docs/MESH_TIERS.md "winner_table f16"). CPU keeps exact f32 so
+    committed goldens are platform-stable."""
+    if options.winner_table != "auto":
+        return options
+    use = "f16" if jax.default_backend() != "cpu" else "f32"
+    return dataclasses.replace(options, winner_table=use)
+
+
 def _first_select(first, new: Vec3, old: Vec3) -> Vec3:
     return Vec3(
         jnp.where(first, new.x, old.x),
@@ -149,15 +164,30 @@ def _multi_step(
     start_iteration, num_iters, base_key,
 ):
     if options.megakernel and not options.dir_aov:
-        from .megakernel import megakernel_accumulate, supports_megakernel
+        from .megakernel import (
+            _uses_bvh,
+            bvh_bounce_accumulate,
+            megakernel_accumulate,
+            supports_megakernel,
+        )
 
         if supports_megakernel(meta, options):
-            # The whole batch accumulates inside ONE kernel (VMEM-resident).
-            image, albedo_acc, normal_acc = megakernel_accumulate(
-                meta, options, dev.camera, dev.face_plane,
-                image, albedo_acc, normal_acc,
-                start_iteration, num_iters, base_key,
-            )
+            if _uses_bvh(meta):
+                # Large-mesh scenes: the bounce megakernel (cluster-BVH +
+                # shade fused; raygen/iteration loop in XLA — the fully
+                # fused form trips a Mosaic CHECK, docs/MESH_TIERS.md).
+                image, albedo_acc, normal_acc = bvh_bounce_accumulate(
+                    meta, options, dev.camera, dev.face_plane,
+                    image, albedo_acc, normal_acc,
+                    start_iteration, num_iters, base_key,
+                )
+            else:
+                # The whole batch accumulates inside ONE kernel.
+                image, albedo_acc, normal_acc = megakernel_accumulate(
+                    meta, options, dev.camera, dev.face_plane,
+                    image, albedo_acc, normal_acc,
+                    start_iteration, num_iters, base_key,
+                )
             return image, albedo_acc, normal_acc, dir_acc, cache
 
     def body(i, carry):
@@ -182,6 +212,7 @@ class Renderer:
         self.options = options or RenderOptions()
         self.dev, self.meta = build_device_scene(scene, self.options.face_chunk)
         self.options = _resolve_auto_options(self.options, scene, self.meta)
+        self.options = _resolve_winner_table(self.options)
         self.base_key = jax.random.key(seed)
         self.timer = PerformanceTimer()
         self.reset()

@@ -40,3 +40,62 @@ def cornell_scene(reference_scenes):
     from mygpuraytracer_tpu.scene import load_scene
 
     return load_scene(str(reference_scenes / "cornell.txt"))
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow split: `pytest tests/ -q` runs the fast tier (<5 min on the CI
+# box); the full suite (~22 min) runs with `pytest tests/ -m "slow or not
+# slow"`. The slow set is centralized here (measured >8 s per test on the
+# 1-core/8-virtual-device CI box, round-4 durations log) rather than
+# scattered as decorators; core production-tier parity tests are kept fast
+# deliberately (rows-tier mesh parity, cornell/cornellObj goldens, the
+# raytrace CLI end-to-end).
+
+SLOW_TESTS = {
+    "test_wavefront_pallas_mesh_tier_matches_chunked[conds]",
+    "test_wavefront_pallas_mesh_tier_matches_chunked[rows_dma]",
+    "test_bvh_tier_matches_oracle",
+    "test_fastpath_mesh_uv",
+    "test_fastpath_matches_reference_path[cornell.txt]",
+    "test_fastpath_matches_reference_path[sphere.txt]",
+    "test_keep_best_campaign_smoke",
+    "test_sort_by_material_identical_image",
+    "test_bounding_box_identical_image",
+    "test_bounding_box_culls_misses",
+    "test_obj_scene_renders",
+    "test_glass_scene_finite",
+    "test_first_bounce_cache_consistency",
+    "test_emissive_light_visible",
+    "test_inplace_tiled_outputcopy",
+    "test_progress_monitor_and_cancel",
+    "test_train_device_ema",
+    "test_train_device_smoke",
+    "test_train_smoke_and_resume",
+    "test_validation_loop",
+    "test_infer_aux_prefilter_chain",
+    "test_warm_start_from_tza",
+    "test_sample_parallel_matches_sequential",
+    "test_pixel_sharded_800x800_invariance",
+    "test_pixel_sharded_matches_single",
+    "test_golden_render[shipTexOnly_32_4spp]",
+    "test_golden_render[cornellCottage_32_4spp]",
+    "test_golden_render[cornellGlass_64_32spp]",
+    "test_golden_render[shipOnly_32_4spp]",
+    "test_golden_render[cornellDof_64_16spp]",
+    "test_raytrace_cli_multichip[sample]",
+    "test_raytrace_cli_multichip[pixels]",
+    "test_winner_table_f16_matches_f32[False]",
+    "test_winner_table_f16_matches_f32[True]",
+    "test_textured_pallas_tier_matches_chunked[False-rows]",
+    "test_textured_pallas_tier_matches_chunked[True-rows]",
+    "test_textured_tier_sort_modes_identical",
+    "test_dir_aov_accumulates_across_batches",
+    "test_dir_aov_cornell_nonzero_and_bounded",
+    "test_bump_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
