@@ -55,11 +55,18 @@ def parse_args(argv=None):
                    default="auto",
                    help="mesh-query reorder before the Pallas tier "
                         "(auto: enabled where measured a win)")
-    p.add_argument("--winner-table", choices=("f32", "f16"), default="f32",
-                   help="deferred winner uv/TBN gather table precision: f16 "
-                        "halves the per-bounce gather rows (measured 1.34x "
-                        "on the textured ship, image mean identical to 5 "
-                        "digits; uv quantizes ~5e-4 relative)")
+    p.add_argument("--winner-table", choices=("auto", "f32", "f16"),
+                   default="auto",
+                   help="deferred winner uv/TBN gather table precision "
+                        "(auto: f16 on TPU, f32 on CPU): f16 halves the "
+                        "per-bounce gather rows (measured 1.34x on the "
+                        "textured ship, image mean identical to 5 digits; "
+                        "uv quantizes ~5e-4 relative)")
+    p.add_argument("--megakernel", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="whole-iteration Pallas megakernel for supported "
+                        "scenes (auto: on for the TPU backend) — includes "
+                        "the bounce megakernel for >256-face meshes")
     from ..utils.platform import add_platform_flag
 
     add_platform_flag(p)
@@ -174,6 +181,10 @@ def main(argv=None) -> int:
         scene.state.trace_depth = args.depth
     iterations = args.iterations if args.iterations is not None else scene.state.iterations
 
+    import jax
+
+    mega = (jax.default_backend() != "cpu" if args.megakernel == "auto"
+            else args.megakernel == "on")
     options = RenderOptions(
         antialiasing=not args.no_antialias,
         depth_of_field=args.depth_of_field,
@@ -182,6 +193,7 @@ def main(argv=None) -> int:
         mesh_sort={"auto": None, "off": False}.get(args.mesh_sort,
                                                    args.mesh_sort),
         winner_table=args.winner_table,
+        megakernel=mega,
     )
     log = (lambda *a: None) if args.quiet else print
 
