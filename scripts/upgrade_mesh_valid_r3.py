@@ -31,7 +31,7 @@ from mygpuraytracer_tpu.scene import load_scene
 
 JOBS = [
     ("shipTex", "scenes/cornellShipTex.txt", _ring_poses(2, 71)[:1], 2048),
-    ("cottage", "scenes/cornellCottage.txt", _ring_poses(2, 81), 16384),
+    ("cottage", "scenes/cornellCottage.txt", _ring_poses(2, 81), 4096),
 ]
 
 
@@ -67,7 +67,16 @@ def main():
             else:
                 clean_r.reset()
             clean_r.base_key = jax.random.key(79000 + ci)
-            _step_bounded(clean_r, spp if on_tpu else 16, batch=16)
+            total = spp if on_tpu else 16
+            done = 0
+            while done < total:
+                # chunked with progress prints: the queue watchdog kills
+                # silent jobs after 25 min (16k-spp poses printed nothing
+                # for ~45 min and kill-looped, round-4 log)
+                _step_bounded(clean_r, min(512, total - done), batch=16)
+                done += min(512, total - done)
+                print(f"{stem}: {done}/{total} spp "
+                      f"({time.time()-t0:.0f}s)", flush=True)
             planes = _planes(clean_r)
             # pose-sanity guard: old-vs-new must look like MC noise
             # (<~0.1 display RMSE), not a pose mismatch (~0.3+)
