@@ -302,7 +302,9 @@ def megakernel_sample(meta, options, camera, face_plane, iteration, base_key):
     width, height = meta.resolution
     n = width * height
     z = lambda: jnp.zeros((n,), jnp.float32)
-    img, alb, nrm = megakernel_accumulate(
+    accumulate = (bvh_bounce_accumulate if _uses_bvh(meta)
+                  else megakernel_accumulate)
+    img, alb, nrm = accumulate(
         meta,
         options,
         camera,
