@@ -1391,3 +1391,196 @@ def fetch_texels_packed(dev, meta, kd_id, ks_id, ke_id, bump_id, u, v):
 
     return (vec(0, kd_p), kd_p, vec(3, ks_p), ks_p, vec(6, ke_p),
             vec(9, bp_p), bp_p)
+
+
+def mesh_nearfar_hit(meta, fs_ref, o: Vec3, d: Vec3, t_cap, active):
+    """In-kernel near-to-far cluster walk for the bounce megakernel.
+
+    The rows tier's visit discipline (near-to-far per 128-ray row + running
+    best-t recheck, docs/MESH_TIERS.md) without its XLA visit-list prepass —
+    bounce-N rays exist only inside the kernel, so the ordering is computed
+    in-kernel:
+
+    1. one vectorized slab pass over all clusters (AABBs baked as program
+       literals) builds a per-(row, cluster) masked entry-distance matrix
+       ``tin_min`` (rows x 128-padded-cluster lanes — two vregs);
+    2. per row, a while-loop walk extracts the nearest unvisited cluster
+       (min + lane-index min over the (1, CP) key vector), streams its
+       faces with the 16-step sublane-shifted layout (DeviceScene.
+       face_shift — the rows kernel's stream), and terminates when the
+       nearest remaining entry distance can no longer beat the row's
+       worst alive best-t.
+
+    Rows whose rays all miss every cluster AABB (93.5%% of shipOnly primary
+    rays) terminate before the first visit. ``active`` masks dead lanes
+    (remaining == 0) out of the candidate pass, so fully dead rows cost one
+    vector compare. Visits measured 2.9-4.2 per live row on shipOnly
+    (scripts/sim_inkernel_walk.py), vs the Morton cond-walk's whole-union.
+
+    fs_ref: the [104, Fp] sublane-shifted face buffer (13 quantities x 8
+    shifted sublane copies). Returns (win, t, fn Vec3, geom f32) like
+    mesh_cluster_hit's untextured form.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, L = o.x.shape
+    CS = meta.cluster_size
+    C = len(meta.mesh_clusters)
+    CP = ((C + 127) // 128) * 128
+    Q = 13
+    eps = 1e-20
+    zeros = jnp.zeros((R, L), jnp.float32)
+    rowi = lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    lanec = lax.broadcasted_iota(jnp.int32, (1, CP), 1)
+
+    ix = 1.0 / jnp.where(jnp.abs(d.x) < eps, eps, d.x)
+    iy = 1.0 / jnp.where(jnp.abs(d.y) < eps, eps, d.y)
+    iz = 1.0 / jnp.where(jnp.abs(d.z) < eps, eps, d.z)
+
+    # --- prepass: per-row nearest masked entry distance per cluster --------
+    INF = jnp.float32(3e38)
+    tin_min = jnp.full((R, CP), INF, jnp.float32)
+    for c in range(C):
+        bmin, bmax = meta.mesh_clusters[c]
+        t1 = (bmin[0] - o.x) * ix
+        t2 = (bmax[0] - o.x) * ix
+        tin = jnp.minimum(t1, t2)
+        tout = jnp.maximum(t1, t2)
+        t1 = (bmin[1] - o.y) * iy
+        t2 = (bmax[1] - o.y) * iy
+        tin = jnp.maximum(tin, jnp.minimum(t1, t2))
+        tout = jnp.minimum(tout, jnp.maximum(t1, t2))
+        t1 = (bmin[2] - o.z) * iz
+        t2 = (bmax[2] - o.z) * iz
+        tin = jnp.maximum(tin, jnp.minimum(t1, t2))
+        tout = jnp.minimum(tout, jnp.maximum(t1, t2))
+        m = (tout >= jnp.maximum(tin, 0.0)) & (tin < t_cap) & active
+        row_min = jnp.min(jnp.where(m, tin, INF), axis=1, keepdims=True)
+        tin_min = jnp.where(lanec == c, row_min, tin_min)
+
+    best = [t_cap, zeros, zeros, zeros, zeros - 1.0]
+
+    for r in range(R):
+        orx, ory, orz = o.x[r : r + 1, :], o.y[r : r + 1, :], o.z[r : r + 1, :]
+        drx, dry, drz = d.x[r : r + 1, :], d.y[r : r + 1, :], d.z[r : r + 1, :]
+        act_r = active[r : r + 1, :]
+
+        def row_best_max(bt, act_r=act_r):
+            # worst alive best-t in the row: the scalar recheck bound
+            return jnp.max(jnp.where(act_r, bt, -INF))
+
+        def cond(carry):
+            key = carry[0]
+            return jnp.min(key) < carry[6]
+
+        def body(carry, orx=orx, ory=ory, orz=orz,
+                 drx=drx, dry=dry, drz=drz, act_r=act_r):
+            key, bt, bx, by, bz, bg, _bound = carry
+            m = jnp.min(key)
+            c = jnp.min(jnp.where(key == m, lanec, CP + 7))
+            key = jnp.where(lanec == c, INF, key)
+
+            # 16-step sublane-shifted stream of cluster c (rows-kernel math)
+            sl_c = pl.ds(c * CS, CS)
+            blks = tuple(fs_ref[q * 8 : (q + 1) * 8, sl_c] for q in range(Q))
+            pt = bt + jnp.zeros((8, L), jnp.float32)  # row best, 8 sublanes
+            pattr = (jnp.zeros((8, L), jnp.float32),) * 4
+
+            def step(k, carry2):
+                pt = carry2[0]
+                pattr = carry2[1:5]
+                B = carry2[5:]
+                fnx, fny, fnz, cc = B[0], B[1], B[2], B[3]
+                ux, uy, uz, cu = B[4], B[5], B[6], B[7]
+                vx, vy, vz, cv, gid = B[8], B[9], B[10], B[11], B[12]
+                A = orx * fnx + ory * fny + orz * fnz
+                Bd = drx * fnx + dry * fny + drz * fnz
+                Bd = jnp.where(jnp.abs(Bd) < eps, eps, Bd)
+                t = (cc - A) / Bd
+                du = drx * ux + dry * uy + drz * uz
+                ou = orx * ux + ory * uy + orz * uz
+                u = ou + t * du - cu
+                dv = drx * vx + dry * vy + drz * vz
+                ov = orx * vx + ory * vy + orz * vz
+                v = ov + t * dv - cv
+                ok = (
+                    (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > HIT_EPS) & (t < pt)
+                )
+                new_vals = (fnx, fny, fnz, gid)
+                pt = jnp.where(ok, t, pt)
+                pattr = tuple(
+                    jnp.where(ok, nv, pa) for nv, pa in zip(new_vals, pattr)
+                )
+                rolled = tuple(pltpu.roll(bb, 1, 1) for bb in B)
+                return (pt,) + pattr + rolled
+
+            out = lax.fori_loop(0, CS // 8, step, (pt,) + pattr + blks)
+            pt = out[0]
+            pattr = list(out[1:5])
+            for k in (4, 2, 1):  # circular min-reduce over shift-sublanes
+                ot = pltpu.roll(pt, k, 0)
+                take = ot < pt
+                pattr = [
+                    jnp.where(take, pltpu.roll(a, k, 0), a) for a in pattr
+                ]
+                pt = jnp.where(take, ot, pt)
+            pt0 = pt[0:1, :]
+            upd = pt0 < bt
+            bt = jnp.where(upd, pt0, bt)
+            bx = jnp.where(upd, pattr[0][0:1, :], bx)
+            by = jnp.where(upd, pattr[1][0:1, :], by)
+            bz = jnp.where(upd, pattr[2][0:1, :], bz)
+            bg = jnp.where(upd, pattr[3][0:1, :], bg)
+            return (key, bt, bx, by, bz, bg, row_best_max(bt))
+
+        init = (
+            tin_min[r : r + 1, :],
+            best[0][r : r + 1, :],
+            zeros[0:1, :], zeros[0:1, :], zeros[0:1, :],
+            zeros[0:1, :] - 1.0,
+            row_best_max(best[0][r : r + 1, :]),
+        )
+        outr = lax.while_loop(cond, body, init)
+        row = rowi == r
+        improved = row & (outr[1] + zeros < best[0])
+        best[0] = jnp.where(improved, outr[1] + zeros, best[0])
+        best[1] = jnp.where(improved, outr[2] + zeros, best[1])
+        best[2] = jnp.where(improved, outr[3] + zeros, best[2])
+        best[3] = jnp.where(improved, outr[4] + zeros, best[3])
+        best[4] = jnp.where(improved, outr[5] + zeros, best[4])
+
+    bt, bx, by, bz, bg = best
+    win = bg >= 0.0
+    return win, bt, Vec3(bx, by, bz), bg
+
+
+def bvh_scene_hit_nearfar(meta, fs_ref, o: Vec3, d: Vec3, active) -> HitSoA:
+    """bvh_scene_hit with the near-to-far walk tier (bounce megakernel).
+
+    ``active`` masks dead lanes (remaining == 0) out of the mesh walk so
+    fully terminated rows cost nothing; their HitSoA rows are misses.
+    """
+    (t_best, normal, is_obj, col, spec, spec_ex, refl, refr, ior, emit,
+     mat_id, uu, vv, kd, ks, ke, bump, set_mat) = intersect_primitives_soa(meta, o, d)
+
+    win, mt, fn, gf = mesh_nearfar_hit(meta, fs_ref, o, d, t_best, active)
+    t_best = jnp.where(win, mt, t_best)
+    normal = v3.where(win, v3.normalize(fn), normal)
+    is_obj = is_obj | win
+    for gi, g in enumerate(meta.geoms):
+        if g.type != int(GeomType.OBJ):
+            continue
+        sel = win & (jnp.abs(gf - gi) < 0.5)
+        (col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump) = set_mat(
+            sel, g, col, spec, spec_ex, refl, refr, ior, emit, mat_id, kd, ks, ke, bump
+        )
+
+    hit = jnp.isfinite(t_best) & active
+    t_best = jnp.where(active, t_best, jnp.inf)
+    return HitSoA(
+        t=t_best, hit=hit, normal=normal, is_obj=is_obj, color=col,
+        spec_color=spec, spec_ex=spec_ex, refl=refl, refr=refr, ior=ior,
+        emit=emit, material_id=mat_id, u=uu, v=vv, kd=kd, ks=ks, ke=ke, bump=bump,
+    )

@@ -337,22 +337,31 @@ def megakernel_sample(meta, options, camera, face_plane, iteration, base_key):
 
 
 def _make_bounce_kernel(meta, options):
+    import os
+
+    from ..ops.trace import bvh_scene_hit_nearfar
+
     width, height = meta.resolution
     n = width * height
     trace_depth = meta.trace_depth
     shape = (ROWS, LANES)
+    # Debug escape hatch: the Morton cond-walk tier (slower: whole-union
+    # visits, measured 883 vs the near-to-far walk on shipOnly 800^2) in
+    # case a toolchain change breaks the while-loop walk's lowering.
+    conds_walk = os.environ.get("MYGPURT_BOUNCE_WALK") == "conds"
 
-    def scene_hit(fp_ref, o, d):
+    def scene_hit(fs_ref, o, d, active):
         parts = []
         for s in range(0, ROWS, MESH_SUB_ROWS):
             e = s + MESH_SUB_ROWS
-            parts.append(
-                bvh_scene_hit(
-                    meta, fp_ref,
-                    Vec3(o.x[s:e], o.y[s:e], o.z[s:e]),
-                    Vec3(d.x[s:e], d.y[s:e], d.z[s:e]),
+            ov = Vec3(o.x[s:e], o.y[s:e], o.z[s:e])
+            dv = Vec3(d.x[s:e], d.y[s:e], d.z[s:e])
+            if conds_walk:
+                parts.append(bvh_scene_hit(meta, fs_ref, ov, dv))
+            else:
+                parts.append(
+                    bvh_scene_hit_nearfar(meta, fs_ref, ov, dv, active[s:e])
                 )
-            )
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
     def kernel(
@@ -376,7 +385,8 @@ def _make_bounce_kernel(meta, options):
             remaining=jnp.full(shape, trace_depth, jnp.int32),
         )
 
-        hit0 = scene_hit(fp_ref, state.origin, state.direction)
+        hit0 = scene_hit(fp_ref, state.origin, state.direction,
+                         jnp.ones(shape, bool))
         albedo = albedo_soa(meta, None, hit0)
         first_hit = hit0
         state = shade_soa(
@@ -385,7 +395,7 @@ def _make_bounce_kernel(meta, options):
         )
 
         def bounce(s: PathStateSoA) -> PathStateSoA:
-            h = scene_hit(fp_ref, s.origin, s.direction)
+            h = scene_hit(fp_ref, s.origin, s.direction, s.remaining > 0)
             return shade_soa(
                 meta, None, s, h,
                 _uniform(shape), _uniform(shape), _uniform(shape),
@@ -413,11 +423,16 @@ def _make_bounce_kernel(meta, options):
 
 @functools.partial(jax.jit, static_argnames=("meta", "options"))
 def bvh_bounce_accumulate(
-    meta, options, camera, face_plane, image: Vec3, albedo: Vec3, normal: Vec3,
+    meta, options, camera, face_buf, image: Vec3, albedo: Vec3, normal: Vec3,
     start_iteration, num_iters, base_key,
 ):
     """megakernel_accumulate-compatible batch accumulate for BVH scenes:
-    XLA fori over iterations, each = XLA raygen -> one bounce-kernel call."""
+    XLA fori over iterations, each = XLA raygen -> one bounce-kernel call.
+
+    ``face_buf`` is the sublane-shifted buffer (DeviceScene.face_shift,
+    [104, Fp]) consumed by the in-kernel near-to-far walk — or, under the
+    MYGPURT_BOUNCE_WALK=conds debug escape, the plane-form [16, Fp]
+    face_plane the Morton cond-walk streams (callers select to match)."""
     from ..ops import rng as rng_mod
     from ..ops.prng import iteration_uniforms
     from .camera import generate_camera_rays
@@ -450,7 +465,7 @@ def bvh_bounce_accumulate(
         U = iteration_uniforms(options, ikey, iteration, 4, n)
         o, d = generate_camera_rays(camera, meta.resolution, options, U)
         sc = (seed + iteration).reshape(1)
-        outs = call(sc, face_plane,
+        outs = call(sc, face_buf,
                     to2d(o.x), to2d(o.y), to2d(o.z),
                     to2d(d.x), to2d(d.y), to2d(d.z))
         flat = [a.reshape(-1)[:n] for a in outs]

@@ -138,11 +138,17 @@ def render_sample(
     trace_depth = meta.trace_depth
 
     if options.megakernel and not options.dir_aov:
-        from .megakernel import megakernel_sample, supports_megakernel
+        from .megakernel import _uses_bvh, megakernel_sample, supports_megakernel
 
         if supports_megakernel(meta, options):
+            import os as _os
+
+            fb = dev.face_plane
+            if _uses_bvh(meta) and _os.environ.get(
+                    "MYGPURT_BOUNCE_WALK") != "conds":
+                fb = dev.face_shift  # near-to-far walk streams shifted form
             color, alb, nrm = megakernel_sample(
-                meta, options, dev.camera, dev.face_plane, iteration, base_key
+                meta, options, dev.camera, fb, iteration, base_key
             )
             first = iteration == 1
             z = lambda: jnp.zeros((n,), jnp.float32)

@@ -173,11 +173,18 @@ def _multi_step(
 
         if supports_megakernel(meta, options):
             if _uses_bvh(meta):
-                # Large-mesh scenes: the bounce megakernel (cluster-BVH +
-                # shade fused; raygen/iteration loop in XLA — the fully
-                # fused form trips a Mosaic CHECK, docs/MESH_TIERS.md).
+                # Large-mesh scenes: the bounce megakernel (in-kernel
+                # near-to-far cluster walk + shade fused; raygen/iteration
+                # loop in XLA — the fully fused form trips a Mosaic CHECK,
+                # docs/MESH_TIERS.md). The walk streams the sublane-shifted
+                # face buffer; the conds debug escape streams plane form.
+                import os as _os
+
+                fb = (dev.face_plane
+                      if _os.environ.get("MYGPURT_BOUNCE_WALK") == "conds"
+                      else dev.face_shift)
                 image, albedo_acc, normal_acc = bvh_bounce_accumulate(
-                    meta, options, dev.camera, dev.face_plane,
+                    meta, options, dev.camera, fb,
                     image, albedo_acc, normal_acc,
                     start_iteration, num_iters, base_key,
                 )

@@ -38,10 +38,14 @@ def build(res):
 
 
 def lowered(dev, meta, opts, n):
+    import os as _os
+
+    fb = (dev.face_plane if _os.environ.get("MYGPURT_BOUNCE_WALK") == "conds"
+          else dev.face_shift)
     z = lambda: jnp.zeros((n,), jnp.float32)
     return jax.jit(
         lambda img, alb, nrm, si, ni, k: bvh_bounce_accumulate(
-            meta, opts, dev.camera, dev.face_plane, img, alb, nrm, si, ni, k)
+            meta, opts, dev.camera, fb, img, alb, nrm, si, ni, k)
     ).lower(
         Vec3(z(), z(), z()), Vec3(z(), z(), z()), Vec3(z(), z(), z()),
         jnp.int32(1), jnp.int32(4), jax.random.key(0),
