@@ -1471,8 +1471,13 @@ def mesh_nearfar_hit(meta, fs_ref, o: Vec3, d: Vec3, t_cap, active):
             return jnp.max(jnp.where(act_r, bt, -INF))
 
         def cond(carry):
-            key = carry[0]
-            return jnp.min(key) < carry[6]
+            # Two bounds: the alive-ray best-t recheck AND key exhaustion.
+            # The exhaustion check is load-bearing: rays that miss every
+            # primitive have bt == +inf, so a row that never finds a face
+            # keeps bound == +inf and min(key) == INF < inf would spin the
+            # walk forever (60 s device-program kill on hardware).
+            m = jnp.min(carry[0])
+            return (m < carry[6]) & (m < INF)
 
         def body(carry, orx=orx, ory=ory, orz=orz,
                  drx=drx, dry=dry, drz=drz, act_r=act_r):

@@ -239,3 +239,76 @@ def test_wavefront_pallas_mesh_tier_matches_chunked(tier):
     np.testing.assert_allclose(
         np.asarray(fast.emit)[m], np.asarray(ref.emit)[m], atol=1e-4
     )
+
+
+def test_nearfar_walk_matches_oracle_open_sky():
+    """bvh_scene_hit_nearfar (the bounce megakernel's in-kernel near-to-far
+    cluster walk) agrees with the brute-force oracle on the OPEN-SKY shipOnly
+    scene — including rays that miss everything (t == +inf), which must
+    terminate the per-row while-loop once the candidate key vector is
+    exhausted (regression: an unbounded walk spun forever on such rays and
+    tripped the TPU 60 s device-program kill). Runs as an interpreted Pallas
+    kernel with a mixed active mask."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygpuraytracer_tpu.ops.trace import bvh_scene_hit_nearfar, intersect_soa
+    from mygpuraytracer_tpu.ops.vec3 import Vec3
+    from mygpuraytracer_tpu.scene import load_scene
+    from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+
+    scene = load_scene("scenes/shipOnly.txt")
+    scene.set_resolution(8, 8)
+    dev, meta = build_device_scene(scene, 128)
+    assert meta.mesh_clusters, "expected the cluster-BVH tier to be built"
+
+    rng = np.random.default_rng(7)
+    n = 8 * 128
+    o_np = rng.uniform(-4, 9, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    # half the rays aimed at the ship, half random (mostly open-sky misses)
+    aim = np.array([1.0, 3.0, 3.0]) - o_np[: n // 2]
+    d_np[: n // 2] = aim + 0.3 * rng.normal(size=(n // 2, 3))
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    act_np = np.ones(n, bool)
+    act_np[::7] = False  # dead lanes scattered through every row
+
+    def kernel(fs_ref, ox, oy, oz, dx, dy, dz, act, t_ref, nx, ny, nz, obj_ref):
+        o = Vec3(ox[:, :], oy[:, :], oz[:, :])
+        d = Vec3(dx[:, :], dy[:, :], dz[:, :])
+        h = bvh_scene_hit_nearfar(meta, fs_ref, o, d, act[:, :] > 0)
+        t_ref[:, :] = jnp.where(h.hit, h.t, -1.0)
+        nx[:, :] = h.normal.x
+        ny[:, :] = h.normal.y
+        nz[:, :] = h.normal.z
+        obj_ref[:, :] = h.is_obj.astype(jnp.float32)
+
+    shape = (8, 128)
+    args = [dev.face_shift] + [
+        jnp.asarray(a.reshape(shape)) for a in
+        (o_np[:, 0], o_np[:, 1], o_np[:, 2], d_np[:, 0], d_np[:, 1], d_np[:, 2],
+         act_np.astype(np.float32))
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct(shape, jnp.float32)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        interpret=True,
+    )(*args)
+    t_k, nx_k, ny_k, nz_k = [np.asarray(a).ravel() for a in outs[:4]]
+
+    o = Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+    ref = intersect_soa(meta, dev, o, d, 128)
+    t_r = np.where(np.asarray(ref.hit), np.asarray(ref.t), -1.0)
+    t_r = np.where(act_np, t_r, -1.0)  # dead lanes report misses
+
+    close = np.isclose(t_k, t_r, rtol=2e-3, atol=2e-3)
+    assert close.mean() > 0.995, f"t mismatch on {(~close).sum()}/{n} lanes"
+    m = close & (t_k > 0)
+    assert m.sum() > n // 8  # plenty of real mesh hits compared
+    assert (t_k[~act_np] == -1.0).all()  # dead lanes never report hits
+    for a, b in ((nx_k, ref.normal.x), (ny_k, ref.normal.y), (nz_k, ref.normal.z)):
+        assert np.isclose(a[m], np.asarray(b)[m], rtol=1e-2, atol=1e-2).mean() > 0.99
