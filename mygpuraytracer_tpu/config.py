@@ -72,6 +72,14 @@ class RenderOptions:
     # primitive-only scenes without the first-bounce cache — other scenes
     # fall back to the wavefront path automatically.
     megakernel: bool = False
+    # Opt-in: route >256-face cluster-BVH meshes through the bounce
+    # megakernel (in-kernel near-to-far cluster walk fused with shading)
+    # when megakernel=True. Measured SLOWER than the wavefront rows tier on
+    # shipOnly 800^2 (1.97 vs 2.46 Msam/s, docs/MESH_TIERS.md "bounce
+    # megakernel"): the cluster-walk work amplification dominates, so the
+    # HBM round-trips the fusion saves don't pay. Kept for measurement and
+    # as the platform if the walk's block coherence improves.
+    bounce_megakernel: bool = False
     # Wavefront mesh tier: None = auto (cluster-BVH Pallas kernel on TPU for
     # untextured meshes > 256 faces, chunked Moller-Trumbore stream
     # elsewhere); True/False force it. The Pallas tier prunes whole 128-face

@@ -56,13 +56,15 @@ def _uses_bvh(meta) -> bool:
 
 
 def supports_megakernel(meta, options) -> bool:
-    """Primitive scenes, small literal-baked meshes (mega_faces), and large
-    meshes via the cluster-BVH tier; textured scenes fall back to the
-    wavefront path."""
+    """Primitive scenes, small literal-baked meshes (mega_faces), and —
+    only under the explicit ``bounce_megakernel`` opt-in — large meshes via
+    the cluster-BVH bounce kernel; textured scenes and (by default) BVH
+    meshes fall back to the wavefront path, which measures faster on them
+    (docs/MESH_TIERS.md "bounce megakernel")."""
     mesh_ok = (
         (not meta.has_obj)
         or (meta.mega_faces and len(meta.mega_faces) == meta.num_faces)
-        or bool(meta.mesh_clusters)
+        or (options.bounce_megakernel and bool(meta.mesh_clusters))
     )
     return bool(
         mesh_ok

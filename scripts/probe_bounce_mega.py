@@ -54,7 +54,7 @@ def lowered(dev, meta, opts, n):
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    opts = RenderOptions(megakernel=True)
+    opts = RenderOptions(megakernel=True, bounce_megakernel=True)
     if MODE == "compile":
         for res in (256, 800):
             t0 = time.perf_counter()
@@ -75,7 +75,7 @@ def main():
     r_wave = Renderer(s, RenderOptions(megakernel=False), seed=3)
     r_wave.step_many(16)
     wave = r_wave.beauty()
-    r_mega = Renderer(s, RenderOptions(megakernel=True), seed=3)
+    r_mega = Renderer(s, RenderOptions(megakernel=True, bounce_megakernel=True), seed=3)
     r_mega.step_many(16)
     mega = r_mega.beauty()
     print(f"means 128^2 x16: wavefront {wave.mean():.5f}  bounce-mega "
@@ -83,7 +83,7 @@ def main():
           flush=True)
 
     s, dev, meta = build(800)
-    r = Renderer(s, RenderOptions(megakernel=True), seed=0)
+    r = Renderer(s, RenderOptions(megakernel=True, bounce_megakernel=True), seed=0)
     r.step_many(2)
     np.asarray(r.image.x[:4])
     t0 = time.perf_counter()
