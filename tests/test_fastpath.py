@@ -312,3 +312,23 @@ def test_nearfar_walk_matches_oracle_open_sky():
     assert (t_k[~act_np] == -1.0).all()  # dead lanes never report hits
     for a, b in ((nx_k, ref.normal.x), (ny_k, ref.normal.y), (nz_k, ref.normal.z)):
         assert np.isclose(a[m], np.asarray(b)[m], rtol=1e-2, atol=1e-2).mean() > 0.99
+
+
+def test_bvh_scenes_route_to_wavefront_by_default():
+    """Cluster-BVH mesh scenes must NOT take the bounce megakernel unless
+    RenderOptions.bounce_megakernel opts in: the wavefront rows tier measured
+    faster on them (shipOnly 800^2: 2.46 vs 1.97 Msam/s, docs/MESH_TIERS.md
+    "Bounce megakernel measured"). Guards the --megakernel auto CLI default."""
+    from mygpuraytracer_tpu.config import RenderOptions
+    from mygpuraytracer_tpu.render.megakernel import _uses_bvh, supports_megakernel
+    from mygpuraytracer_tpu.scene import load_scene
+    from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+
+    scene = load_scene("scenes/shipOnly.txt")
+    scene.set_resolution(8, 8)
+    _, meta = build_device_scene(scene, 128)
+    assert _uses_bvh(meta)
+    assert not supports_megakernel(meta, RenderOptions(megakernel=True))
+    assert supports_megakernel(
+        meta, RenderOptions(megakernel=True, bounce_megakernel=True)
+    )
