@@ -22,6 +22,7 @@ are dispatched as one device program per batch.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -29,6 +30,88 @@ import numpy as np
 
 
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _sub_env():
+    env = dict(os.environ)
+    need = f"{REPO_DIR}:/root/.axon_site"
+    pp = env.get("PYTHONPATH", "")
+    if need not in pp:
+        env["PYTHONPATH"] = need + (":" + pp if pp else "")
+    return env
+
+
+def _run_isolated(which, timeout):
+    """Re-invoke bench.py for ONE risky config in a SUBPROCESS.
+
+    A config whose device program trips the TPU worker's ~60 s runtime
+    watchdog crashes the worker and takes its client process down with it
+    (reproduced 2026-08-18/19). In-process that would null every metric —
+    bench prints its single JSON line only at the end. Isolated, a crash
+    costs only this config's key."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sub", which],
+            capture_output=True, text=True, timeout=timeout, env=_sub_env(),
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+        print(f"sub bench {which} gave no JSON; stderr tail: "
+              f"{out.stderr.strip().splitlines()[-3:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"sub bench {which} timed out after {timeout}s", file=sys.stderr)
+    except Exception as e:
+        print(f"sub bench {which} failed: {e}", file=sys.stderr)
+    return {}
+
+
+def _wait_tunnel(max_wait=360):
+    """Health-gate after a possibly-crashed subprocess: a wedged axon worker
+    recovers in ~4 min. Probe with a trivial jit in a SUBPROCESS so a hang
+    can't wedge this process; give up (and let callers proceed) after
+    max_wait."""
+    probe = ("import jax, jax.numpy as jnp, numpy as np; "
+             "y = jax.jit(lambda a: a + 1)(jnp.arange(8.0)); "
+             "assert float(np.asarray(y[1])) == 2.0; print('TUNNEL_OK')")
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        try:
+            out = subprocess.run([sys.executable, "-c", probe], timeout=170,
+                                 capture_output=True, text=True, env=_sub_env())
+            if "TUNNEL_OK" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(20)
+    print("tunnel still unhealthy after subprocess bench", file=sys.stderr)
+    return False
+
+
+def _sub_main(which):
+    """Measure one isolated config; print a one-line JSON dict of keys."""
+    from mygpuraytracer_tpu.scene import load_scene
+    from mygpuraytracer_tpu.scene.builtin import cornell_box
+
+    ref = os.path.join("/root/reference/scenes", "cornell.txt")
+    scene = load_scene(ref) if os.path.exists(ref) else cornell_box()
+    # batch=4: the sorted wavefront costs up to ~1 s/iter at 800^2 — a
+    # long program would blow the TPU worker's ~60 s runtime watchdog.
+    kw = dict(megakernel=False, depth_of_field=True, cache_first_bounce=True,
+              sort_by_material=True, antialiasing=False,
+              min_time=4.0, max_iters=32, batch=4)
+    if which == "dof":
+        _, ms = _bench_scene(scene, **kw)  # sort_impl default ("fused")
+        print(json.dumps({"cornell_dof_cache_sort_msamples_per_sec": ms}))
+    elif which == "dof_argsort":
+        # fallback: the round-3-measured legacy path, under the same key
+        _, ms = _bench_scene(scene, sort_impl="argsort", **kw)
+        print(json.dumps({"cornell_dof_cache_sort_msamples_per_sec": ms,
+                          "cornell_dof_cache_sort_impl": "argsort"}))
+    else:
+        raise SystemExit(f"unknown --sub {which}")
 
 
 def _bench_scene(scene, megakernel, min_time=2.0, max_iters=1024, batch=128,
@@ -87,9 +170,11 @@ def main() -> None:
     img_obj = robj.beauty()
     rc, ms_cornell = _bench_scene(get_scene("cornell.txt"), on_tpu)
 
-    # ---- 1a. remaining BASELINE configs: glass/Fresnel (#2) and the
-    # DoF + first-bounce-cache + sort-by-material wavefront path (#3) --------
-    glass_ms = dof_ms = None
+    # ---- 1a. BASELINE config #2: glass/Fresnel ------------------------------
+    # (config #3 — DoF + cache + sort — runs LAST, subprocess-isolated: its
+    # sorted wavefront is the one program class that has crashed the TPU
+    # worker, and a worker crash takes the whole client down.)
+    glass_ms = None
     try:
         from mygpuraytracer_tpu.scene.builtin import cornell_glass
 
@@ -99,19 +184,6 @@ def main() -> None:
         _, glass_ms = _bench_scene(glass, on_tpu)
     except Exception as e:
         print(f"glass bench failed: {e}", file=sys.stderr)
-    try:
-        # batch=4: the sorted wavefront costs ~1 s/iter at 800^2 (the
-        # per-bounce argsort+gathers dominate) — a 128-iteration program
-        # blows the TPU worker's ~60 s runtime watchdog and CRASHES the
-        # worker, nulling every later metric (reproduced twice 2026-08-18).
-        _, dof_ms = _bench_scene(
-            get_scene("cornell.txt"), megakernel=False,
-            depth_of_field=True, cache_first_bounce=True,
-            sort_by_material=True, antialiasing=False,
-            min_time=4.0, max_iters=32, batch=4,
-        )
-    except Exception as e:
-        print(f"dof bench failed: {e}", file=sys.stderr)
 
     # ---- 1b. 23k-face mesh via the wavefront cluster-BVH Pallas tier --------
     # (honest number: far below the primitive-scene tiers; docs/MESH_TIERS.md.
@@ -253,6 +325,35 @@ def main() -> None:
     except Exception as e:
         print(f"rmse bench failed: {e}", file=sys.stderr)
 
+    # ---- 4. BASELINE config #3 (DoF + cache + sort), LAST + isolated --------
+    # The parent does no further device work after this point, so even a
+    # worker crash here cannot poison the metrics gathered above. The
+    # default sort_impl ("fused" variadic lax.sort) runs first; if it
+    # yields nothing (crash/timeout), fall back to the round-3-measured
+    # argsort path so the key stays populated.
+    dof_ms = None
+    dof_impl = None
+    if on_tpu:
+        sub = _run_isolated("dof", timeout=1500)
+        dof_ms = sub.get("cornell_dof_cache_sort_msamples_per_sec")
+        dof_impl = "fused" if dof_ms is not None else None
+        if dof_ms is None:
+            _wait_tunnel()
+            sub = _run_isolated("dof_argsort", timeout=1500)
+            dof_ms = sub.get("cornell_dof_cache_sort_msamples_per_sec")
+            dof_impl = sub.get("cornell_dof_cache_sort_impl")
+    else:
+        try:
+            _, dof_ms = _bench_scene(
+                get_scene("cornell.txt"), megakernel=False,
+                depth_of_field=True, cache_first_bounce=True,
+                sort_by_material=True, antialiasing=False,
+                min_time=4.0, max_iters=32, batch=4,
+            )
+            dof_impl = "fused"
+        except Exception as e:
+            print(f"dof bench failed: {e}", file=sys.stderr)
+
     rnd = lambda v, k=2: None if v is None else round(v, k)
     result = {
         "metric": "cornellObj_800x800_depth8_path_trace",
@@ -262,6 +363,7 @@ def main() -> None:
         "cornell_msamples_per_sec": round(ms_cornell, 2),
         "cornellGlass_msamples_per_sec": rnd(glass_ms),
         "cornell_dof_cache_sort_msamples_per_sec": rnd(dof_ms),
+        "cornell_dof_cache_sort_impl": dof_impl,
         "ship23k_msamples_per_sec": rnd(ship_ms),
         "shipTex23k_msamples_per_sec": rnd(shiptex_ms),
         "shipTex23k_f16winner_msamples_per_sec": rnd(shiptex_f16_ms),
@@ -279,4 +381,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
+        sys.path.insert(0, REPO_DIR)
+        _sub_main(sys.argv[2])
+    else:
+        main()
