@@ -55,13 +55,15 @@ def parse_args(argv=None):
                    default="auto",
                    help="mesh-query reorder before the Pallas tier "
                         "(auto: enabled where measured a win)")
-    p.add_argument("--winner-table", choices=("auto", "f32", "f16"),
+    p.add_argument("--winner-table", choices=("auto", "f32", "f16", "oct"),
                    default="auto",
                    help="deferred winner uv/TBN gather table precision "
                         "(auto: f16 on TPU, f32 on CPU): f16 halves the "
                         "per-bounce gather rows (measured 1.34x on the "
                         "textured ship, image mean identical to 5 digits; "
-                        "uv quantizes ~5e-4 relative)")
+                        "uv quantizes ~5e-4 relative); oct packs TBN as "
+                        "8-bit octahedral pairs (16-byte rows, "
+                        "experimental)")
     p.add_argument("--megakernel", choices=("auto", "on", "off"),
                    default="auto",
                    help="whole-iteration Pallas megakernel for supported "

@@ -106,6 +106,11 @@ class RenderOptions:
     #     shipTexOnly 800^2 1.60 -> 2.15 Msam/s). Lossy only in the
     #     deferred uv/TBN fetch: t/hit bitwise identical by construction,
     #     uv rounds ~5e-4 relative (< half a texel at 256^2 maps).
+    #   "oct" — [Fp,4] uint32: uv coefficients as in "f16" plus the
+    #     tangent/bitangent as 8-bit octahedral pairs in one word — 16-byte
+    #     gather rows. TBN quantizes to ~1 deg worst-case (bump-mapped
+    #     shading normals only); experimental until hardware-measured
+    #     (scripts/probe_winner_oct.py), hence not part of "auto".
     winner_table: str = "auto"
     # Which Pallas mesh kernel runs the cluster visits (docs/MESH_TIERS.md):
     #   "rows"  — row-granular shifted-face kernel (16-step visits per

@@ -535,6 +535,7 @@ def intersect_soa(
                     with_uv=meta.has_textures, with_tb=with_bump,
                     dma=True if mesh_tier == "rows_dma" else None,
                     ex=(dev.face_ex_h if winner_table == "f16"
+                        else dev.face_ex_o if winner_table == "oct"
                         else dev.face_ex_t),
                 )
             else:
@@ -1255,16 +1256,25 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
     u_b, v_b, fidf = flat_out[5:8]
     fid = jnp.clip(fidf.astype(jnp.int32), 0, ex.shape[0] - 1)
     gathered = jnp.take(ex, fid, axis=0)
-    if ex.dtype == jnp.uint32:
-        # winner_table="f16": 24-byte rows of f16 pairs (dev.face_ex_h);
-        # unpack word j -> columns (2j, 2j+1), low half = even column.
+
+    def _unpack_f16_pairs(words):
+        # word j -> columns (2j, 2j+1), low half = even column
         lo = lax.bitcast_convert_type(
-            (gathered & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+            (words & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
         ).astype(jnp.float32)
         hi = lax.bitcast_convert_type(
-            (gathered >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+            (words >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
         ).astype(jnp.float32)
-        cols = jnp.stack([lo, hi], axis=-1).reshape(gathered.shape[0], -1)
+        return jnp.stack([lo, hi], axis=-1).reshape(words.shape[0], -1)
+
+    # Table flavors (scene/device_scene.py): f32 [Fp,12]; "f16" u32[Fp,6]
+    # of half pairs (24-byte rows); "oct" u32[Fp,4] (16-byte rows: 3 f16
+    # uv words + one word of 8-bit octahedral tangent/bitangent).
+    oct_mode = ex.dtype == jnp.uint32 and ex.shape[1] == 4
+    if oct_mode:
+        cols = _unpack_f16_pairs(gathered[:, :3])  # (N, 6) uv coefficients
+    elif ex.dtype == jnp.uint32:
+        cols = _unpack_f16_pairs(gathered)  # (N, 12)
     else:
         cols = gathered  # (N, 12) f32
     extras = []
@@ -1274,7 +1284,24 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
             cols[:, 1] + u_b * cols[:, 3] + v_b * cols[:, 5],
         ]
     if with_tb:
-        extras += [cols[:, 6 + j] for j in range(6)]
+        if oct_mode:
+            w3 = gathered[:, 3]
+
+            def _oct8_decode(qx, qy):
+                x = qx.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+                y = qy.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+                z = 1.0 - jnp.abs(x) - jnp.abs(y)
+                t = jnp.maximum(-z, 0.0)
+                x = x + jnp.where(x >= 0.0, -t, t)
+                y = y + jnp.where(y >= 0.0, -t, t)
+                inv = lax.rsqrt(x * x + y * y + z * z)
+                return x * inv, y * inv, z * inv
+
+            q = [(w3 >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+                 for k in range(4)]
+            extras += [*_oct8_decode(q[0], q[1]), *_oct8_decode(q[2], q[3])]
+        else:
+            extras += [cols[:, 6 + j] for j in range(6)]
     return mt, Vec3(fx, fy, fz), gf, tuple(extras)
 
 

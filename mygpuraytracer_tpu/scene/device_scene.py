@@ -102,6 +102,17 @@ class DeviceScene(NamedTuple):
     # of 48 (gather cost scales with row bytes). Lossy: uv coefficients
     # round to ~5e-4 relative — within half a texel at 256^2 maps.
     face_ex_h: jnp.ndarray  # u32[Fp, 6] (or [1, 6])
+    # Octahedral-packed copy for RenderOptions.winner_table="oct": words
+    # 0-2 are the same f16 uv-coefficient pairs as face_ex_h; word 3 packs
+    # the unit tangent/bitangent as two 8-bit octahedral pairs
+    # (tx|ty<<8|bx<<16|by<<24). 16-byte gather rows instead of 24 — the
+    # gather cost model is ~0.4 ms/byte over an ~8.6 ms floor at 640k
+    # indices (docs/MESH_TIERS.md "byte-packed"). Lossy only in the
+    # deferred fetch: uv as in f16 mode; the TBN frame quantizes to ~1
+    # deg worst-case (8-bit octahedral), which only perturbs bump-mapped
+    # shading normals. Degenerate (zero) tangents decode to +z instead of
+    # 0 — such faces have degenerate uv and garbage bump either way.
+    face_ex_o: jnp.ndarray  # u32[Fp, 4] (or [1, 4])
     # Sublane-shifted face quantities for the row-granular mesh tier
     # (mesh_tier='rows'): row q*8+s, lane c*128+l = quantity q of face
     # (c*128 + (l + 16*s) % 128) — so one (8,128) block of quantity q holds
@@ -321,6 +332,23 @@ def build_device_scene(
         lo = h[:, 0::2].astype(np.uint32)
         hi = h[:, 1::2].astype(np.uint32)
         return lo | (hi << np.uint32(16))
+
+    def _oct8(vecs):
+        """8-bit octahedral encoding of (n, 3) unit vectors -> two uint32
+        columns in [0, 255]. Zero vectors (degenerate-uv tangents) map to
+        the +z pole."""
+        v = vecs.astype(np.float64)
+        s = np.abs(v).sum(axis=1)
+        s = np.where(s < 1e-20, 1.0, s)
+        px, py = v[:, 0] / s, v[:, 1] / s
+        fx = (1.0 - np.abs(py)) * np.where(px >= 0.0, 1.0, -1.0)
+        fy = (1.0 - np.abs(px)) * np.where(py >= 0.0, 1.0, -1.0)
+        neg = v[:, 2] < 0.0
+        x = np.where(neg, fx, px)
+        y = np.where(neg, fy, py)
+        qx = np.clip(np.rint((x * 0.5 + 0.5) * 255.0), 0, 255)
+        return qx.astype(np.uint32), np.clip(
+            np.rint((y * 0.5 + 0.5) * 255.0), 0, 255).astype(np.uint32)
 
     def add_texture(tex) -> int:
         nonlocal offset
@@ -562,6 +590,18 @@ def build_device_scene(
         mat_ior[i] = m.index_of_refraction
         mat_emittance[i] = m.emittance
 
+    # Deferred winner gather tables (cols 0-5 uv coefficients, 6-11 unit
+    # tangent/bitangent; the streamed layout's pad columns are dropped).
+    ex12 = np.ascontiguousarray(
+        face_plane_ex[list(range(6)) + list(range(8, 14))].T)
+    otx, oty = _oct8(ex12[:, 6:9])
+    obx, oby = _oct8(ex12[:, 9:12])
+    ex_oct = np.concatenate(
+        [_pack_f16_pairs(ex12[:, :6]),
+         (otx | (oty << np.uint32(8)) | (obx << np.uint32(16))
+          | (oby << np.uint32(24)))[:, None]],
+        axis=1)
+
     dev = DeviceScene(
         geom_type=jnp.asarray(geom_type),
         geom_material=jnp.asarray(geom_material),
@@ -596,12 +636,9 @@ def build_device_scene(
         ),
         face_plane=jnp.asarray(face_plane),
         face_plane_ex=jnp.asarray(face_plane_ex),
-        # gather table drops the streamed layout's pad columns (6,7,14,15):
-        # cols 0-5 uv coefficients, 6-11 tangent/bitangent
-        face_ex_t=jnp.asarray(np.ascontiguousarray(
-            face_plane_ex[list(range(6)) + list(range(8, 14))].T)),
-        face_ex_h=jnp.asarray(_pack_f16_pairs(np.ascontiguousarray(
-            face_plane_ex[list(range(6)) + list(range(8, 14))].T))),
+        face_ex_t=jnp.asarray(ex12),
+        face_ex_h=jnp.asarray(_pack_f16_pairs(ex12)),
+        face_ex_o=jnp.asarray(ex_oct),
         face_shift=jnp.asarray(face_shift),
         mat_color=jnp.asarray(mat_color),
         mat_spec_color=jnp.asarray(mat_spec_color),

@@ -237,3 +237,82 @@ def test_winner_table_f16_matches_f32(with_bump):
         (f16.normal.z, f32.normal.z),
     ):
         assert np.isclose(np.asarray(a)[m], np.asarray(b)[m], atol=5e-3).all()
+
+
+@pytest.mark.parametrize("with_bump", [False, True])
+def test_winner_table_oct_matches_f32(with_bump):
+    """winner_table="oct" (16-byte gather rows) vs the exact f32 table.
+
+    Same contract as the f16 mode for t/hit/uv (words 0-2 are the same
+    f16 uv coefficients); the tangent/bitangent additionally quantize to
+    8-bit octahedral (~0.5 deg worst-case), so bump-perturbed normals get
+    a wider — but still small — tolerance."""
+    dev, meta = build_device_scene(_wavy_mesh_scene(with_bump=with_bump), 128)
+    o, d = _rays(8 * 128 + 61)
+
+    f32 = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True,
+                        mesh_tier="rows")
+    oct_ = intersect_soa(meta, dev, o, d, 128, mesh_pallas=True,
+                         mesh_tier="rows", winner_table="oct")
+
+    assert (np.asarray(oct_.hit) == np.asarray(f32.hit)).all()
+    np.testing.assert_array_equal(np.asarray(oct_.t), np.asarray(f32.t))
+    m = np.asarray(f32.is_obj) & np.asarray(f32.hit)
+    assert m.sum() > 200
+    for a, b in ((oct_.u, f32.u), (oct_.v, f32.v)):
+        assert np.isclose(
+            np.asarray(a)[m], np.asarray(b)[m], rtol=0, atol=2e-3
+        ).all()
+    for a, b in ((oct_.kd, f32.kd), (oct_.ks, f32.ks), (oct_.ke, f32.ke)):
+        assert (np.asarray(a)[m] == np.asarray(b)[m]).mean() > 0.99
+    # normals: identical where no bump applies; ~1 deg cone when the
+    # bump TBN went through the octahedral round-trip
+    atol = 0.02 if with_bump else 5e-3
+    for a, b in (
+        (oct_.normal.x, f32.normal.x),
+        (oct_.normal.y, f32.normal.y),
+        (oct_.normal.z, f32.normal.z),
+    ):
+        assert np.isclose(np.asarray(a)[m], np.asarray(b)[m], atol=atol).all()
+
+
+def test_oct8_roundtrip_angular_error():
+    """Host-side oct8 encode -> kernel-side decode: every unit vector on a
+    dense sphere sample returns within 1 deg (measured worst case ~0.93);
+    zero vectors go to +z."""
+    from mygpuraytracer_tpu.scene.device_scene import build_device_scene  # noqa: F401
+    import jax
+    from jax import lax
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(4096, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v = np.concatenate([v, np.eye(3), -np.eye(3), np.zeros((1, 3))])
+
+    # encode exactly as the scene builder does
+    s = np.abs(v).sum(axis=1)
+    s = np.where(s < 1e-20, 1.0, s)
+    px, py = v[:, 0] / s, v[:, 1] / s
+    fx = (1.0 - np.abs(py)) * np.where(px >= 0.0, 1.0, -1.0)
+    fy = (1.0 - np.abs(px)) * np.where(py >= 0.0, 1.0, -1.0)
+    neg = v[:, 2] < 0.0
+    x = np.where(neg, fx, px)
+    y = np.where(neg, fy, py)
+    qx = np.clip(np.rint((x * 0.5 + 0.5) * 255.0), 0, 255).astype(np.uint32)
+    qy = np.clip(np.rint((y * 0.5 + 0.5) * 255.0), 0, 255).astype(np.uint32)
+
+    # decode exactly as ops/trace.py mesh_rows_hit does
+    def dec(qx, qy):
+        x = qx.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+        y = qy.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+        z = 1.0 - jnp.abs(x) - jnp.abs(y)
+        t = jnp.maximum(-z, 0.0)
+        x = x + jnp.where(x >= 0.0, -t, t)
+        y = y + jnp.where(y >= 0.0, -t, t)
+        inv = lax.rsqrt(x * x + y * y + z * z)
+        return jnp.stack([x * inv, y * inv, z * inv], axis=1)
+
+    out = np.asarray(jax.jit(dec)(jnp.asarray(qx), jnp.asarray(qy)))
+    dots = (out[:-1] * v[:-1]).sum(axis=1)
+    assert dots.min() > np.cos(np.deg2rad(1.0))
+    np.testing.assert_allclose(out[-1], [0.0, 0.0, 1.0], atol=0.02)
