@@ -67,8 +67,10 @@ def parse_args(argv=None):
     p.add_argument("--megakernel", choices=("auto", "on", "off"),
                    default="auto",
                    help="whole-iteration Pallas megakernel for supported "
-                        "scenes (auto: on for the TPU backend) — includes "
-                        "the bounce megakernel for >256-face meshes")
+                        "scenes (auto: on for the TPU backend); >256-face "
+                        "mesh scenes stay on the faster wavefront rows "
+                        "tier (the bounce megakernel measured slower and "
+                        "is a RenderOptions.bounce_megakernel opt-in)")
     from ..utils.platform import add_platform_flag
 
     add_platform_flag(p)

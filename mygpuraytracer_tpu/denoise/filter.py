@@ -512,13 +512,12 @@ class Filter:
 
     def _execute_device(self, h: int, w: int, transfer) -> None:
         """One-dispatch tiled execute: inputs resident, tiles sliced and
-        stitched on device (lax.scan over a uniform halo grid), one readback.
-
-        Border tiles see edge-replicated halo (vs the monitored path's
-        zero-pad) — both are valid paddings of the same receptive field; the
-        owned output regions tile the image exactly once either way.
-        In-place is safe without outputTemp: every input pixel is read on
-        device before the single host-side write.
+        stitched on device (lax.scan over the _tile_grid tiles), one
+        readback. Tile windows, zero fill, and output ownership match the
+        monitored per-tile path (_run_tile) exactly, so registering a
+        progress monitor does not change the output pixels. In-place is
+        safe without outputTemp: every input pixel is read on device
+        before the single host-side write.
         """
         output = self.images["output"]
         names, stacked = self._stacked_inputs(h, w)
@@ -540,59 +539,97 @@ class Filter:
             self._progress(1.0)
             return
 
+        # Multi-tile: reproduce the monitored path tile for tile — the same
+        # _tile_grid output regions and the same re-anchored full-size input
+        # windows as _run_tile — in ONE scanned device program. Windows are
+        # sliced from a zero-padded copy; the zero fill is only ever the
+        # alignment band beyond the image, exactly like _run_tile's zeroed
+        # window array.
+        count_h, count_w = self.tile_counts
         step_h = tile_h - 2 * OVERLAP
         step_w = tile_w - 2 * OVERLAP
-        count_h = _ceil_div(h, step_h)
-        count_w = _ceil_div(w, step_w)
-        # Pad so every tile is full-size and owns exactly step x step output:
-        # OVERLAP of halo on top/left, remainder + halo on bottom/right.
-        padded = np.pad(
-            stacked,
-            ((OVERLAP, count_h * step_h + OVERLAP - h),
-             (OVERLAP, count_w * step_w + OVERLAP - w), (0, 0)),
-            mode="edge",
-        )
+        tiles = self._tile_grid(h, w)
+        ih0s, iw0s, ohs, ows = [], [], [], []
+        for oh, ow, _out_h, _out_w in tiles:
+            ih0 = max(oh - OVERLAP, 0)
+            iw0 = max(ow - OVERLAP, 0)
+            ih1 = min(ih0 + tile_h, h)
+            iw1 = min(iw0 + tile_w, w)
+            ih0 = max(min(ih0, ih1 - tile_h), 0)  # re-anchor (as _run_tile)
+            iw0 = max(min(iw0, iw1 - tile_w), 0)
+            ih0s.append(ih0)
+            iw0s.append(iw0)
+            ohs.append(oh)
+            ows.append(ow)
+        vh0s = [oh - i0 for oh, i0 in zip(ohs, ih0s)]
+        vw0s = [ow - i0 for ow, i0 in zip(ows, iw0s)]
+        # Owned band per tile: leading-anchored static extent (owned region
+        # plus up to OVERLAP of trailing excess). Writes go in _tile_grid's
+        # ascending row-major order, so the LAST writer of every pixel is
+        # its _tile_grid owner: a tile's trailing excess is overwritten by
+        # the next tile's band or cropped at h/w.
+        band_h = tile_h if count_h == 1 else step_h + OVERLAP
+        band_w = tile_w if count_w == 1 else step_w + OVERLAP
+        pad_y_h = max(0, max(v + band_h for v in vh0s) - tile_h)
+        pad_y_w = max(0, max(v + band_w for v in vw0s) - tile_w)
+        in_h, in_w = max(h, tile_h), max(w, tile_w)
+        out_pad = (max(oh + band_h for oh in ohs),
+                   max(ow + band_w for ow in ows))
+        padded = np.zeros((in_h, in_w, stacked.shape[-1]), np.float32)
+        padded[:h, :w] = stacked
+        idx = np.stack(
+            [np.asarray(a, np.int32)
+             for a in (ih0s, iw0s, vh0s, vw0s, ohs, ows)], axis=1)
         run = self._grid_pipeline(
-            names, hdr, snorm, has_color, count_h, count_w)
+            names, hdr, snorm, has_color, (in_h, in_w),
+            (band_h, band_w), (pad_y_h, pad_y_w), out_pad)
         out_np = np.asarray(run(
-            self._cast_params(), jnp.asarray(padded),
+            self._cast_params(), jnp.asarray(padded), jnp.asarray(idx),
             jnp.float32(transfer.input_scale),
         ))
         output[...] = out_np[:h, :w]
         self._progress(1.0)
 
-    def _grid_pipeline(self, names, hdr, snorm, has_color, count_h, count_w):
-        """Jitted whole-grid execute for one (inputs, tiling) configuration."""
-        key = (names, hdr, snorm, has_color, self.tile_shape,
-               count_h, count_w, self._transfer_kind())
+    def _grid_pipeline(self, names, hdr, snorm, has_color, in_shape, band,
+                       y_pad, out_pad):
+        """Jitted whole-grid execute for one (inputs, tiling) configuration:
+        lax.scan over the per-tile (window origin, in-window output offset,
+        output origin) table; each step slices a re-anchored window, runs
+        pack -> U-Net -> unpack, and writes its leading-anchored owned
+        band (see _execute_device for the ownership argument)."""
+        key = (names, hdr, snorm, has_color, self.tile_shape, in_shape,
+               band, y_pad, out_pad, self._transfer_kind())
         fn = self._jitted.get(key)
         if fn is not None:
             return fn
         transfer_kind = self._transfer_kind()
         dtype = self._network_dtype()
         tile_h, tile_w = self.tile_shape
-        step_h = tile_h - 2 * OVERLAP
-        step_w = tile_w - 2 * OVERLAP
+        band_h, band_w = band
+        pad_y_h, pad_y_w = y_pad
 
         @jax.jit
-        def run(params, padded, input_scale):
+        def run(params, padded, idx, input_scale):
             tf = color_mod.make_transfer(transfer_kind, input_scale)
             c = padded.shape[-1]
 
-            def body(out, ij):
-                i, j = ij // count_w, ij % count_w
-                r0, c0 = i * step_h, j * step_w
+            def body(out, row):
+                ih0, iw0, vh0, vw0, oh, ow = (row[k] for k in range(6))
                 window = jax.lax.dynamic_slice(
-                    padded, (r0, c0, 0), (tile_h, tile_w, c))
+                    padded, (ih0, iw0, 0), (tile_h, tile_w, c))
                 x = _pack_input(names, window, tf, hdr, snorm, has_color)
                 y = unet_apply(params, x.astype(dtype)[None])[0]
                 y = _unpack_output(y.astype(jnp.float32), tf, hdr, snorm)
+                if pad_y_h or pad_y_w:
+                    # Room for the band slice on short last-tile offsets;
+                    # padded rows/cols only ever land in the cropped region.
+                    y = jnp.pad(y, ((0, pad_y_h), (0, pad_y_w), (0, 0)))
                 core = jax.lax.dynamic_slice(
-                    y, (OVERLAP, OVERLAP, 0), (step_h, step_w, 3))
-                return jax.lax.dynamic_update_slice(out, core, (r0, c0, 0)), None
+                    y, (vh0, vw0, 0), (band_h, band_w, 3))
+                return jax.lax.dynamic_update_slice(out, core, (oh, ow, 0)), None
 
-            out0 = jnp.zeros((count_h * step_h, count_w * step_w, 3), jnp.float32)
-            out, _ = jax.lax.scan(body, out0, jnp.arange(count_h * count_w))
+            out0 = jnp.zeros(out_pad + (3,), jnp.float32)
+            out, _ = jax.lax.scan(body, out0, idx)
             return out
 
         self._jitted[key] = run

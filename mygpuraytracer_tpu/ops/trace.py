@@ -486,6 +486,25 @@ def _mesh_sort_key(meta, o: Vec3, d: Vec3) -> jnp.ndarray:
     return (cell << 9) | (oct_ << 6) | (ax << 3) | ay
 
 
+def _winner_ex(dev, winner_table: str):
+    """Deferred winner uv/TBN gather table for the rows tier.
+
+    Accepts only the RESOLVED values — "auto" must be resolved by the
+    caller (Renderer._resolve_winner_table); raising here keeps a typo or
+    an unresolved "auto" from silently selecting the 48-byte f32 rows and
+    losing the measured 1.34x (docs/MESH_TIERS.md "winner_table f16")."""
+    if winner_table == "f16":
+        return dev.face_ex_h
+    if winner_table == "oct":
+        return dev.face_ex_o
+    if winner_table == "f32":
+        return dev.face_ex_t
+    raise ValueError(
+        f"winner_table must be resolved to f32/f16/oct here, got "
+        f"{winner_table!r} (resolve 'auto' via Renderer before intersect_soa)"
+    )
+
+
 def intersect_soa(
     meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128, bounding_box: bool = False,
     mesh_pallas: bool | None = None, mesh_sort: bool | str = False,
@@ -534,9 +553,7 @@ def intersect_soa(
                     meta, dev.face_shift, ov, dv, tcap,
                     with_uv=meta.has_textures, with_tb=with_bump,
                     dma=True if mesh_tier == "rows_dma" else None,
-                    ex=(dev.face_ex_h if winner_table == "f16"
-                        else dev.face_ex_o if winner_table == "oct"
-                        else dev.face_ex_t),
+                    ex=_winner_ex(dev, winner_table),
                 )
             else:
                 tier_fn = mesh_list_hit if mesh_tier == "lists" else mesh_pallas_hit

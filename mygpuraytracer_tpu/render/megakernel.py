@@ -338,6 +338,20 @@ def megakernel_sample(meta, options, camera, face_plane, iteration, base_key):
 # elementwise floor disappear for mesh scenes too.
 
 
+def bounce_face_buffer(dev):
+    """Face buffer matching _make_bounce_kernel's walk variant.
+
+    The near-to-far walk streams the sublane-shifted buffer
+    (DeviceScene.face_shift, [104, Fp]); the MYGPURT_BOUNCE_WALK=conds
+    debug escape streams the plane-form [16, Fp] face_plane. Callers must
+    select through this helper so the buffer always matches the kernel."""
+    import os
+
+    return (dev.face_plane
+            if os.environ.get("MYGPURT_BOUNCE_WALK") == "conds"
+            else dev.face_shift)
+
+
 def _make_bounce_kernel(meta, options):
     import os
 
@@ -387,8 +401,11 @@ def _make_bounce_kernel(meta, options):
             remaining=jnp.full(shape, trace_depth, jnp.int32),
         )
 
-        hit0 = scene_hit(fp_ref, state.origin, state.direction,
-                         jnp.ones(shape, bool))
+        # Mask the zero-padded out-of-image lanes out of the first walk:
+        # their eps-clamped directions give tin ~1e21 < inf for EVERY
+        # cluster, so an all-ones mask makes each padded row visit the
+        # whole mesh at bounce 0 (~184 visits vs ~3 for live rows).
+        hit0 = scene_hit(fp_ref, state.origin, state.direction, in_image)
         albedo = albedo_soa(meta, None, hit0)
         first_hit = hit0
         state = shade_soa(

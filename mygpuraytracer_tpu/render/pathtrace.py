@@ -141,12 +141,10 @@ def render_sample(
         from .megakernel import _uses_bvh, megakernel_sample, supports_megakernel
 
         if supports_megakernel(meta, options):
-            import os as _os
+            from .megakernel import bounce_face_buffer
 
-            fb = dev.face_plane
-            if _uses_bvh(meta) and _os.environ.get(
-                    "MYGPURT_BOUNCE_WALK") != "conds":
-                fb = dev.face_shift  # near-to-far walk streams shifted form
+            fb = (bounce_face_buffer(dev) if _uses_bvh(meta)
+                  else dev.face_plane)
             color, alb, nrm = megakernel_sample(
                 meta, options, dev.camera, fb, iteration, base_key
             )

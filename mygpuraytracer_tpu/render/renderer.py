@@ -178,11 +178,9 @@ def _multi_step(
                 # loop in XLA — the fully fused form trips a Mosaic CHECK,
                 # docs/MESH_TIERS.md). The walk streams the sublane-shifted
                 # face buffer; the conds debug escape streams plane form.
-                import os as _os
+                from .megakernel import bounce_face_buffer
 
-                fb = (dev.face_plane
-                      if _os.environ.get("MYGPURT_BOUNCE_WALK") == "conds"
-                      else dev.face_shift)
+                fb = bounce_face_buffer(dev)
                 image, albedo_acc, normal_acc = bvh_bounce_accumulate(
                     meta, options, dev.camera, fb,
                     image, albedo_acc, normal_acc,

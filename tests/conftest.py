@@ -96,6 +96,18 @@ SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
     for item in items:
         if item.name in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+            seen.add(item.name)
+    # A renamed test (or changed parametrize id) silently drops out of the
+    # slow tier and regrows the default fast run past its <5 min budget.
+    # Only enforceable on a full-suite collection: partial runs (a single
+    # file, -k filters) legitimately collect few SLOW_TESTS entries.
+    missing = SLOW_TESTS - seen
+    if missing and len(items) > 150:
+        raise pytest.UsageError(
+            "SLOW_TESTS entries matched no collected test (renamed? "
+            f"parametrize id changed?): {sorted(missing)}"
+        )

@@ -628,3 +628,37 @@ def test_tile_plan_exact_accounting():
         for oh, ow, th, tw in tiles:
             cover[oh:oh + th, ow:ow + tw] += 1
         assert cover.min() == 1 and cover.max() == 1
+
+
+def test_device_fast_path_matches_monitored_tiled():
+    """The unmonitored device-resident execute must produce the SAME pixels
+    as the monitored per-tile host path: both now use _tile_grid's output
+    regions and _run_tile's re-anchored zero-filled windows, so registering
+    a progress monitor must not change the result (the reference has one
+    execute loop regardless, core/unet.cpp:146-186). Non-square image with
+    a ragged last tile exercises the re-anchor + crop corners."""
+    rng = np.random.default_rng(11)
+    h, w = 520, 344  # multiple tiles in H and W at maxMemoryMB=0
+    color = rng.random((h, w, 3), np.float32).astype(np.float32)
+    albedo = rng.random((h, w, 3), np.float32).astype(np.float32)
+
+    def run(monitored: bool) -> np.ndarray:
+        dev = make_device()
+        f = dev.new_filter("RT")
+        f.set_image("color", color.copy())
+        f.set_image("albedo", albedo.copy())
+        out = np.zeros((h, w, 3), np.float32)
+        f.set_image("output", out)
+        f.set("maxMemoryMB", 0)
+        if monitored:
+            f.set_progress_monitor_function(lambda p: True)
+        f.commit()
+        f.execute()
+        return out
+
+    fast = run(False)
+    mon = run(True)
+    # Same math modulo XLA fusion differences between the scanned and the
+    # per-tile programs (f32 on CPU): tolerance far under the reference's
+    # own 1e-4 max-rel-error compare bar (oidnDenoise.cpp:362).
+    np.testing.assert_allclose(fast, mon, rtol=0, atol=1e-6)
