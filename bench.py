@@ -207,9 +207,12 @@ def main() -> None:
     try:
         stx_path = os.path.join(REPO_DIR, "scenes/shipTexOnly.txt")
         if os.path.exists(stx_path):
-            # default (winner_table="auto" -> f16 on TPU since round 4):
-            # 24-byte winner uv/TBN gather rows, measured 1.34x on hardware
-            # with image mean identical to 5 digits (probe_winner_f16.py).
+            # default (winner_table="auto" -> oct on TPU since round 4,
+            # f16 before): 16-byte winner uv/TBN gather rows, measured
+            # 2.213 Msam/s vs f16's 2.137 same-session with 6e-6 image-mean
+            # drift (probe_winner_oct.py). Key was
+            # shipTex23k_f16winner_msamples_per_sec through BENCH_r03; now
+            # shipTex23k_winner_* with the table named in its own field.
             _, shiptex_f16_ms = _bench_scene(
                 load_scene(stx_path), megakernel=False, min_time=4.0,
                 max_iters=32, batch=4,
@@ -366,7 +369,8 @@ def main() -> None:
         "cornell_dof_cache_sort_impl": dof_impl,
         "ship23k_msamples_per_sec": rnd(ship_ms),
         "shipTex23k_msamples_per_sec": rnd(shiptex_ms),
-        "shipTex23k_f16winner_msamples_per_sec": rnd(shiptex_f16_ms),
+        "shipTex23k_winner_msamples_per_sec": rnd(shiptex_f16_ms),
+        "shipTex23k_winner_table": "oct" if on_tpu else "f32",
         "denoise_ms_per_frame": rnd(denoise_ms),
         "denoise9_ms_per_frame": rnd(denoise9_ms),
         "rmse_ldr_denoised_16spp_vs_own_16kspp": rnd(rmse, 5),

@@ -97,7 +97,7 @@ class RenderOptions:
     #     host-side bounce-0 AABB-reach estimate is < 30% (VERDICT r2 §2).
     mesh_sort: bool | str | None = None
     # Precision of the rows tier's deferred winner uv/TBN gather table:
-    #   "auto" (default) — f16 on TPU, f32 on CPU (Renderer resolves at
+    #   "auto" (default) — oct on TPU, f32 on CPU (Renderer resolves at
     #     construction; CPU keeps exact f32 so goldens are platform-stable).
     #   "f32" — [Fp,12] float32, exact.
     #   "f16" — [Fp,6] uint32 of packed half pairs: 24-byte gather rows
@@ -109,8 +109,10 @@ class RenderOptions:
     #   "oct" — [Fp,4] uint32: uv coefficients as in "f16" plus the
     #     tangent/bitangent as 8-bit octahedral pairs in one word — 16-byte
     #     gather rows. TBN quantizes to ~1 deg worst-case (bump-mapped
-    #     shading normals only); experimental until hardware-measured
-    #     (scripts/probe_winner_oct.py), hence not part of "auto".
+    #     shading normals only; image-mean drift vs f16 measured 6e-6).
+    #     Fastest measured: shipTexOnly 800^2 2.213 Msam/s vs f16's 2.137
+    #     same-session (scripts/probe_winner_oct.py 2026-08-19), hence the
+    #     TPU "auto" choice.
     winner_table: str = "auto"
     # Which Pallas mesh kernel runs the cluster visits (docs/MESH_TIERS.md):
     #   "rows"  — row-granular shifted-face kernel (16-step visits per

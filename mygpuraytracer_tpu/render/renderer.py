@@ -102,17 +102,18 @@ def _resolve_auto_options(options: RenderOptions, scene: Scene, meta) -> RenderO
 
 
 def _resolve_winner_table(options: RenderOptions) -> RenderOptions:
-    """winner_table="auto": f16 on TPU, f32 on CPU.
+    """winner_table="auto": oct on TPU, f32 on CPU.
 
-    The f16 deferred winner uv/TBN table halves the dominant per-bounce
-    gather rows (24 vs 48 bytes: shipTexOnly 800^2 1.60 -> 2.15 Msam/s)
-    with t/hit bitwise identical by construction and image means equal to
-    5 digits; the cottage cross-check was bitwise identical
-    (docs/MESH_TIERS.md "winner_table f16"). CPU keeps exact f32 so
-    committed goldens are platform-stable."""
+    Deferred winner uv/TBN gather rows, measured on shipTexOnly 800^2:
+    f32 48-byte rows 1.60 Msam/s -> f16 24-byte 2.137 -> oct 16-byte
+    2.213 (same-session control, probe_winner_oct.py 2026-08-19; t/hit
+    bitwise identical by construction for all three, oct-vs-f16 image
+    mean drift 6e-6 from the ~1-deg octahedral TBN quantization of
+    bump-mapped shading normals — docs/MESH_TIERS.md "winner_table").
+    CPU keeps exact f32 so committed goldens are platform-stable."""
     if options.winner_table != "auto":
         return options
-    use = "f16" if jax.default_backend() != "cpu" else "f32"
+    use = "oct" if jax.default_backend() != "cpu" else "f32"
     return dataclasses.replace(options, winner_table=use)
 
 
