@@ -38,6 +38,11 @@ def main():
         (impl, dict(sort_by_material=True, sort_impl=impl))
         for impl in ("fused", "perm", "argsort")
     ]
+    # Optional argv[2]: comma-separated impl subset (e.g. "off,fused") so a
+    # quick run can time just the bench default without 4 tunnel compiles.
+    if len(sys.argv) > 2:
+        keep = set(sys.argv[2].split(","))
+        configs = [c for c in configs if c[0] in keep]
     base = dict(depth_of_field=True, antialiasing=False,
                 cache_first_bounce=True, megakernel=False)
     means = {}
@@ -60,8 +65,10 @@ def main():
         means[name] = float(r.beauty().mean())
         print(f"{name}: {total/iters*1e3:.1f} ms/iter  {ms:.3f} Msam/s  "
               f"mean {means[name]:.6f}", flush=True)
-    drift = max(abs(means[k] - means["off"]) for k in means)
-    print(f"max mean drift vs off: {drift:.2e}", flush=True)
+    if "off" in means:
+        drift = max(abs(means[k] - means["off"]) for k in means)
+        print(f"max mean drift vs off: {drift:.2e}", flush=True)
+    print("SORT PROBE DONE", flush=True)
 
 
 if __name__ == "__main__":

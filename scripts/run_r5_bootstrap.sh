@@ -10,11 +10,9 @@
 # from the driver's 12 h round clock; reserve ~45 min for eval + bench).
 #
 # Round-5 ordering notes:
-# - Probe stage FIRST: the oct winner-table probe (flag-gated in round 4,
-#   never got a clean TPU slot — the r4 queue held the chip all round).
-#   ~15 min, decides the TPU winner_table default while the tunnel is
-#   fresh; flip config.py auto->oct only if it beats f16's 298 ms/iter
-#   with negligible image-mean drift (docs/MESH_TIERS.md f16 ledger).
+# - The oct winner-table probe RAN in round-4 session 3 (2.213 vs f16's
+#   2.137 Msam/s, drift 6e-6 — docs/MESH_TIERS.md) and the TPU default is
+#   already oct; no probe stage remains.
 # - Whether to re-run the full campaign depends on where results/r4_eval
 #   landed (committed at end of round 4); if the bench RMSE bars
 #   (<=0.02 6-ch / <=0.015 9-ch) are already met, prefer spending the
@@ -79,9 +77,6 @@ run_watched() {  # run_watched <done-marker-regex> <log> <end-ts-or-0> <cmd...>
   done
   return 1
 }
-
-# Stage 0: cheap hardware probes while the tunnel is fresh (~15 min).
-run_watched "PROBE DONE"   /tmp/probe_oct.log "$GEN_END" python scripts/probe_winner_oct.py
 
 # Stage A: primitive + bench-scale masters (megakernel tier; ~1-2 h).
 run_watched "ALLDONE"      /tmp/gen_r2.log    "$GEN_END" python scripts/gen_dataset_r2.py
