@@ -88,8 +88,35 @@ def num_rng_streams(trace_depth: int) -> int:
     return 4 + 3 * trace_depth
 
 
+def _rebuild_material_fields(meta, mat_id, hit_mask):
+    """Re-expand the per-material constant HitSoA fields from a (sorted)
+    material-id vector via the same literal select chain intersection used
+    to set them (ops/trace.py set_mat) — miss lanes (hit_mask False) keep
+    the zero defaults, exactly like intersect's init state. Values are
+    bit-identical to the pre-sort fields: both sides select the same
+    python-float constants from meta.geoms."""
+    z = jnp.zeros_like(mat_id, dtype=jnp.float32)
+    col = [z, z, z]
+    spec = [z, z, z]
+    spec_ex, refl, refr, ior, emit = z, z, z, z, z
+    seen = set()
+    for g in meta.geoms:
+        if g.material_id in seen:
+            continue  # same material -> same constants; one select suffices
+        seen.add(g.material_id)
+        sel = hit_mask & (mat_id == g.material_id)
+        col = [jnp.where(sel, c, a) for c, a in zip(g.color, col)]
+        spec = [jnp.where(sel, c, a) for c, a in zip(g.spec_color, spec)]
+        spec_ex = jnp.where(sel, g.spec_exponent, spec_ex)
+        refl = jnp.where(sel, g.has_reflective, refl)
+        refr = jnp.where(sel, g.has_refractive, refr)
+        ior = jnp.where(sel, g.ior, ior)
+        emit = jnp.where(sel, g.emittance, emit)
+    return Vec3(*col), Vec3(*spec), spec_ex, refl, refr, ior, emit
+
+
 def _sort_wavefront(
-    state: PathStateSoA, hit: HitSoA, pixel: jnp.ndarray,
+    meta, state: PathStateSoA, hit: HitSoA, pixel: jnp.ndarray,
     num_materials: int, impl: str = "fused",
 ):
     """Material-sorted execution (thrust::sort_by_key, pathtrace.cu:590,612).
@@ -101,16 +128,62 @@ def _sort_wavefront(
     pathtrace.cu:409), the rendered image is bitwise identical with sorting
     on or off — only the execution order changes. The three ``impl`` forms
     apply the SAME stable permutation (RenderOptions.sort_impl).
+
+    ``impl="fused"`` (the default) co-sorts ONLY the genuinely per-lane
+    arrays in one variadic ``lax.sort`` — ray state, hit geometry (t,
+    normal, texcoords, texture slots), pixel map — and re-expands the
+    per-MATERIAL constant fields (diffuse/spec color, exponent, refl/refr/
+    ior/emittance) from the sorted key afterwards: they are pure functions
+    of material id, so moving them through the sort network is pure cost.
+    The first fused form co-sorted all 37 wavefront arrays and its two
+    sort ops compiled for >20 min on the tunnel (scripts/
+    probe_sort_impls.py, 2026-08-19) — payload width is what both the
+    Mosaic compile and the on-chip sort passes scale with.
     """
+    if impl == "fused":
+        textured = bool(meta.has_textures)
+        operands = [
+            state.origin.x, state.origin.y, state.origin.z,
+            state.direction.x, state.direction.y, state.direction.z,
+            state.color.x, state.color.y, state.color.z,
+            state.remaining,
+            hit.t, hit.normal.x, hit.normal.y, hit.normal.z, hit.is_obj,
+            pixel,
+        ]
+        if textured:
+            operands += [hit.u, hit.v, hit.kd, hit.ks, hit.ke, hit.bump]
+        out = jax.lax.sort((-hit.material_id, *operands), num_keys=1,
+                           is_stable=True)
+        mat_id = -out[0]
+        (ox, oy, oz, dx, dy, dz, cx, cy, cz, remaining,
+         t, nx, ny, nz, is_obj, pix) = out[1:17]
+        if textured:
+            u, v, kd, ks, ke, bump = out[17:23]
+        else:
+            zf = jnp.zeros_like(t)
+            zi = jnp.zeros_like(mat_id)
+            u, v, kd, ks, ke, bump = zf, zf, zi, zi, zi, zi
+        hit_mask = jnp.isfinite(t)
+        col, spec, spec_ex, refl, refr, ior, emit = _rebuild_material_fields(
+            meta, mat_id, hit_mask
+        )
+        state = PathStateSoA(
+            origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
+            color=Vec3(cx, cy, cz), remaining=remaining,
+        )
+        hit = HitSoA(
+            t=t, hit=hit_mask, normal=Vec3(nx, ny, nz), is_obj=is_obj,
+            color=col, spec_color=spec, spec_ex=spec_ex, refl=refl,
+            refr=refr, ior=ior, emit=emit, material_id=mat_id,
+            u=u, v=v, kd=kd, ks=ks, ke=ke, bump=bump,
+        )
+        return state, hit, pix
+
     flat_s, tree_s = jax.tree_util.tree_flatten(state)
     flat_h, tree_h = jax.tree_util.tree_flatten(hit)
     ns = len(flat_s)
     operands = (*flat_s, *flat_h, pixel)
-    if impl == "fused":
-        out = jax.lax.sort((-hit.material_id, *operands), num_keys=1,
-                           is_stable=True)
-        rest = out[1:]
-    elif impl == "perm":
+    if impl == "perm":
         from ..ops.compaction import material_sort_perm
 
         perm = material_sort_perm(hit.material_id, num_materials)
@@ -218,12 +291,39 @@ def render_sample(
     num_materials = int(dev.mat_color.shape[0])
     pixel = jnp.arange(n, dtype=jnp.int32)
     if do_sort:
+        # RNG streams follow the ORIGINAL pixel id (the reference hashes
+        # pixelIndex, pathtrace.cu:409), so the sorted wavefront fetches its
+        # three shade streams through the accumulated permutation each
+        # bounce. Pack them into 16-byte [N,4] rows up front: ONE row gather
+        # per bounce instead of three [N] gathers — per-index latency, not
+        # bytes, is what a 640k-lane gather costs on this TPU
+        # (docs/MESH_TIERS.md "per-bounce gathers").
+        import os as _os
+
+        u_shade = U[4:4 + 3 * trace_depth].reshape(trace_depth, 3, n)
+        U4 = jnp.concatenate(
+            [
+                jnp.moveaxis(u_shade, 1, 2),
+                jnp.zeros((trace_depth, n, 1), U.dtype),
+            ],
+            axis=2,
+        )
+        # Timing-only escape (scripts/probe_sort_impls.py decomposition):
+        # skips the permutation fetch so the probe can price the sort alone.
+        # Renders the WRONG image — never set outside measurement.
+        _skip_rng_gather = bool(_os.environ.get("MYGPURT_SORT_TIMING_NO_RNG_GATHER"))
+
+        def bounce_rng(depth_idx, pix):
+            rows = lax.dynamic_index_in_dim(U4, depth_idx, axis=0, keepdims=False)
+            if not _skip_rng_gather:
+                rows = rows[pix]
+            return rows[:, 0], rows[:, 1], rows[:, 2]
+
         state, hit0, pixel = _sort_wavefront(
-            state, hit0, pixel, num_materials, options.sort_impl
+            meta, state, hit0, pixel, num_materials, options.sort_impl
         )
-        state = shade_soa(
-            meta, dev, state, hit0, U[4][pixel], U[5][pixel], U[6][pixel]
-        )
+        u0, u1, u2 = bounce_rng(0, pixel)
+        state = shade_soa(meta, dev, state, hit0, u0, u1, u2)
     else:
         state = shade_soa(meta, dev, state, hit0, U[4], U[5], U[6])
 
@@ -239,12 +339,13 @@ def render_sample(
                 mesh_tier=options.mesh_tier,
                 winner_table=options.winner_table,
             )
-            u = lax.dynamic_slice_in_dim(U, 4 + 3 * depth_idx, 3, axis=0)
             if do_sort:
                 s, h, pix = _sort_wavefront(
-                    s, h, pix, num_materials, options.sort_impl
+                    meta, s, h, pix, num_materials, options.sort_impl
                 )
-                return shade_soa(meta, dev, s, h, u[0][pix], u[1][pix], u[2][pix]), pix
+                u0, u1, u2 = bounce_rng(depth_idx, pix)
+                return shade_soa(meta, dev, s, h, u0, u1, u2), pix
+            u = lax.dynamic_slice_in_dim(U, 4 + 3 * depth_idx, 3, axis=0)
             return shade_soa(meta, dev, s, h, u[0], u[1], u[2]), pix
 
         any_alive = jnp.any(carry[0].remaining > 0)

@@ -60,6 +60,7 @@ SLOW_TESTS = {
     "test_fastpath_matches_reference_path[sphere.txt]",
     "test_keep_best_campaign_smoke",
     "test_sort_by_material_identical_image",
+    "test_sort_by_material_identical_image_textured",
     "test_bounding_box_identical_image",
     "test_bounding_box_culls_misses",
     "test_obj_scene_renders",

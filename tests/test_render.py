@@ -168,6 +168,23 @@ def test_sort_by_material_identical_image(reference_scenes):
         )
 
 
+def test_sort_by_material_identical_image_textured():
+    """The fused sorted bounce has a static textured branch (co-sorts
+    uv + texture-slot ids instead of rebuilding them as zeros) — pin it to
+    the unsorted image the same way as the untextured case."""
+    s = load_scene("scenes/cornellShipTex.txt")
+    s.set_resolution(40, 40)
+    imgs = {}
+    for name, opts in [
+        ("off", RenderOptions(sort_by_material=False)),
+        ("fused", RenderOptions(sort_by_material=True, sort_impl="fused")),
+    ]:
+        r = Renderer(s, opts, seed=3)
+        r.render(iterations=2)
+        imgs[name] = r.beauty()
+    np.testing.assert_allclose(imgs["fused"], imgs["off"], rtol=1e-5, atol=1e-6)
+
+
 def test_bounding_box_identical_image(reference_scenes):
     """The AABB pre-test (pathtrace.cu:348-353) is a pure cull: every face of
     a geom lies inside its AABB, so results are unchanged."""
