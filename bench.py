@@ -97,8 +97,10 @@ def _sub_main(which):
 
     ref = os.path.join("/root/reference/scenes", "cornell.txt")
     scene = load_scene(ref) if os.path.exists(ref) else cornell_box()
-    # batch=4: the sorted wavefront costs up to ~1 s/iter at 800^2 — a
-    # long program would blow the TPU worker's ~60 s runtime watchdog.
+    # batch=4: keeps each device program far under the TPU worker's ~60 s
+    # runtime watchdog (the lean fused sort runs ~99 ms/iter at 800^2 —
+    # 6.47 Msam/s measured 2026-08-19; the round-3 argsort form cost up
+    # to ~1 s/iter).
     kw = dict(megakernel=False, depth_of_field=True, cache_first_bounce=True,
               sort_by_material=True, antialiasing=False,
               min_time=4.0, max_iters=32, batch=4)

@@ -139,6 +139,16 @@ def _sort_wavefront(
     sort ops compiled for >20 min on the tunnel (scripts/
     probe_sort_impls.py, 2026-08-19) — payload width is what both the
     Mosaic compile and the on-chip sort passes scale with.
+
+    Measured on the BASELINE #3 config (cornell 800^2, DoF + first-bounce
+    cache + sort, v5e, 2026-08-19): unsorted 13.6 ms/iter; 17-operand
+    fused sort with the packed [N,4] RNG row fetch **98.9 ms/iter =
+    6.47 Msam/s** (round 3's argsort+gathers form: 0.32). Decomposition:
+    sort machinery ~6.6 ms/bounce (timing escape below: 66.4 ms/iter),
+    RNG row gather ~4 ms/bounce; the three separate [N] stream gathers
+    this replaces cost ~20 ms/bounce — per-index latency dominates
+    gathers, so one 16-byte-row fetch is ~5x cheaper than three 4-byte
+    ones.
     """
     if impl == "fused":
         textured = bool(meta.has_textures)
