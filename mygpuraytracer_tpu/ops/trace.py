@@ -1206,7 +1206,15 @@ def mesh_rows_hit(meta, fs, o: Vec3, d: Vec3, t_cap,
                     pattr = tuple(
                         jnp.where(ok, nv, pa) for nv, pa in zip(new_vals, pattr)
                     )
-                    rolled = tuple(pltpu.roll(bb, 1, 1) for bb in B)
+                    # Timing-only decomposition escape (WRONG image): roll
+                    # just 4 of the Q face blocks to price the 13 per-step
+                    # lane-rolls against the pair math. Never set outside
+                    # scripts/probe_rows_rolls.py.
+                    if os.environ.get("MYGPURT_ROWS_TIMING_ROLL4"):
+                        rolled = tuple(
+                            pltpu.roll(bb, 1, 1) for bb in B[:4]) + tuple(B[4:])
+                    else:
+                        rolled = tuple(pltpu.roll(bb, 1, 1) for bb in B)
                     return (pt,) + pattr + rolled
 
                 out = lax.fori_loop(0, CS // 8, step, partial + blks)
