@@ -185,6 +185,59 @@ def test_sort_by_material_identical_image_textured():
     np.testing.assert_allclose(imgs["fused"], imgs["off"], rtol=1e-5, atol=1e-6)
 
 
+def test_sort_wavefront_fused_matches_argsort(reference_scenes):
+    """The lean fused sort co-sorts only per-lane arrays and re-expands the
+    material-constant HitSoA fields from the sorted key (render/pathtrace.py
+    _sort_wavefront). Pin EVERY field bitwise against the argsort reference
+    impl, which permutes all 37 arrays directly — on a scene with
+    primitives + an OBJ mesh so is_obj/material coverage is real."""
+    import jax
+    import jax.numpy as jnp
+
+    from mygpuraytracer_tpu.config import RenderOptions
+    from mygpuraytracer_tpu.ops.trace import intersect_soa
+    from mygpuraytracer_tpu.render.camera import generate_camera_rays
+    from mygpuraytracer_tpu.render.pathtrace import (
+        _sort_wavefront, num_rng_streams,
+    )
+    from mygpuraytracer_tpu.render.shade import PathStateSoA
+    from mygpuraytracer_tpu.ops.rng import iteration_key
+    from mygpuraytracer_tpu.ops.prng import iteration_uniforms
+    from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+    from mygpuraytracer_tpu.ops.vec3 import Vec3
+
+    s = load_scene(str(reference_scenes / "cornellObj.txt"))
+    s.set_resolution(32, 32)
+    options = RenderOptions()
+    dev, meta = build_device_scene(s, options.face_chunk)
+    n = 32 * 32
+    U = iteration_uniforms(
+        options, iteration_key(jax.random.key(7), 1), 1,
+        num_rng_streams(meta.trace_depth), n,
+    )
+    o, d = generate_camera_rays(dev.camera, meta.resolution, options, U)
+    ones = jnp.ones((n,), jnp.float32)
+    state = PathStateSoA(
+        origin=o, direction=d, color=Vec3(ones, ones, ones),
+        remaining=jnp.full((n,), meta.trace_depth, jnp.int32),
+    )
+    hit = intersect_soa(meta, dev, o, d, options.face_chunk)
+    pixel = jnp.arange(n, dtype=jnp.int32)
+    num_materials = int(dev.mat_color.shape[0])
+
+    outs = {}
+    for impl in ("fused", "argsort"):
+        st, h, pix = _sort_wavefront(meta, state, hit, pixel,
+                                     num_materials, impl)
+        outs[impl] = (st, h, pix)
+
+    ref_leaves, _ = jax.tree_util.tree_flatten(outs["argsort"])
+    got_leaves, _ = jax.tree_util.tree_flatten(outs["fused"])
+    assert len(ref_leaves) == len(got_leaves)
+    for ref, got in zip(ref_leaves, got_leaves):
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_bounding_box_identical_image(reference_scenes):
     """The AABB pre-test (pathtrace.cu:348-353) is a pure cull: every face of
     a geom lies inside its AABB, so results are unchanged."""
