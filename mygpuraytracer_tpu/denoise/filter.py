@@ -219,6 +219,12 @@ class Filter:
             "cleanAux": False,
             "maxMemoryMB": DEFAULT_MAX_MEMORY_MB,
             "inputScale": math.nan,
+            # Beyond-reference scaling knob: a jax.sharding.Mesh shards the
+            # unmonitored tiled execute's tile table across devices (each
+            # chip denoises its share of the tiles; one psum stitches the
+            # disjoint owned regions). None = single-device. The reference's
+            # only tiling parallelism is TBB threads inside one host.
+            "mesh": None,
         }
         self.progress_fn: Callable[[float], bool] | None = None
         self.dirty = True
@@ -577,12 +583,26 @@ class Filter:
                    max(ow + band_w for ow in ows))
         padded = np.zeros((in_h, in_w, stacked.shape[-1]), np.float32)
         padded[:h, :w] = stacked
+        # Exact owned extents per tile (th, tw): band writes are masked to
+        # them, so every output pixel has exactly ONE writer — order-free,
+        # which is what lets the mesh path psum per-device canvases.
+        ths = [t[2] for t in tiles]
+        tws = [t[3] for t in tiles]
         idx = np.stack(
             [np.asarray(a, np.int32)
-             for a in (ih0s, iw0s, vh0s, vw0s, ohs, ows)], axis=1)
+             for a in (ih0s, iw0s, vh0s, vw0s, ohs, ows, ths, tws)], axis=1)
+        mesh = self.params.get("mesh")
+        if mesh is not None:
+            # Pad the tile table to a multiple of the mesh size with no-op
+            # rows (th=tw=0 writes nothing); each device scans its share.
+            n_dev = mesh.devices.size
+            pad_rows = (-len(idx)) % n_dev
+            if pad_rows:
+                idx = np.concatenate(
+                    [idx, np.zeros((pad_rows, idx.shape[1]), np.int32)])
         run = self._grid_pipeline(
             names, hdr, snorm, has_color, (in_h, in_w),
-            (band_h, band_w), (pad_y_h, pad_y_w), out_pad)
+            (band_h, band_w), (pad_y_h, pad_y_w), out_pad, mesh)
         out_np = np.asarray(run(
             self._cast_params(), jnp.asarray(padded), jnp.asarray(idx),
             jnp.float32(transfer.input_scale),
@@ -591,14 +611,21 @@ class Filter:
         self._progress(1.0)
 
     def _grid_pipeline(self, names, hdr, snorm, has_color, in_shape, band,
-                       y_pad, out_pad):
+                       y_pad, out_pad, mesh=None):
         """Jitted whole-grid execute for one (inputs, tiling) configuration:
         lax.scan over the per-tile (window origin, in-window output offset,
-        output origin) table; each step slices a re-anchored window, runs
-        pack -> U-Net -> unpack, and writes its leading-anchored owned
-        band (see _execute_device for the ownership argument)."""
+        output origin, owned extent) table; each step slices a re-anchored
+        window, runs pack -> U-Net -> unpack, and writes its owned region
+        EXACTLY (band slice masked to the tile's out_h/out_w) — every output
+        pixel has one writer, so tile order is free.
+
+        With ``mesh`` (the filter's "mesh" param), the table is sharded over
+        the mesh's first axis via shard_map: each device scans its share of
+        the tiles into a private canvas and one ``psum`` stitches the
+        disjoint regions — multi-chip denoise throughput the reference's
+        TBB-threaded tiling cannot reach beyond one host."""
         key = (names, hdr, snorm, has_color, self.tile_shape, in_shape,
-               band, y_pad, out_pad, self._transfer_kind())
+               band, y_pad, out_pad, self._transfer_kind(), mesh)
         fn = self._jitted.get(key)
         if fn is not None:
             return fn
@@ -608,13 +635,12 @@ class Filter:
         band_h, band_w = band
         pad_y_h, pad_y_w = y_pad
 
-        @jax.jit
-        def run(params, padded, idx, input_scale):
+        def scan_tiles(params, padded, idx, input_scale, vary=lambda a: a):
             tf = color_mod.make_transfer(transfer_kind, input_scale)
             c = padded.shape[-1]
 
             def body(out, row):
-                ih0, iw0, vh0, vw0, oh, ow = (row[k] for k in range(6))
+                ih0, iw0, vh0, vw0, oh, ow, th, tw = (row[k] for k in range(8))
                 window = jax.lax.dynamic_slice(
                     padded, (ih0, iw0, 0), (tile_h, tile_w, c))
                 x = _pack_input(names, window, tf, hdr, snorm, has_color)
@@ -626,11 +652,41 @@ class Filter:
                     y = jnp.pad(y, ((0, pad_y_h), (0, pad_y_w), (0, 0)))
                 core = jax.lax.dynamic_slice(
                     y, (vh0, vw0, 0), (band_h, band_w, 3))
+                # Mask the write to the exact owned extent (read-modify-
+                # write); a th=tw=0 row is a no-op (mesh padding rows).
+                cur = jax.lax.dynamic_slice(
+                    out, (oh, ow, 0), (band_h, band_w, 3))
+                ri = jax.lax.broadcasted_iota(jnp.int32, (band_h, band_w, 3), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (band_h, band_w, 3), 1)
+                core = jnp.where((ri < th) & (ci < tw), core, cur)
                 return jax.lax.dynamic_update_slice(out, core, (oh, ow, 0)), None
 
-            out0 = jnp.zeros(out_pad + (3,), jnp.float32)
+            # vary: under shard_map the carry depends on the device's idx
+            # shard, so the init must be pcast to varying (as in
+            # parallel/sharded.py render_multichip_sample).
+            out0 = vary(jnp.zeros(out_pad + (3,), jnp.float32))
             out, _ = jax.lax.scan(body, out0, idx)
             return out
+
+        if mesh is None:
+            run = jax.jit(scan_tiles)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+
+            vary = lambda a: jax.lax.pcast(a, axis, to="varying")
+
+            @jax.jit
+            def run(params, padded, idx, input_scale):
+                shard = jax.shard_map(
+                    lambda p, img, rows, s: jax.lax.psum(
+                        scan_tiles(p, img, rows, s, vary=vary), axis),
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(axis), P()),
+                    out_specs=P(),
+                )
+                return shard(params, padded, idx, input_scale)
 
         self._jitted[key] = run
         return run

@@ -98,3 +98,37 @@ def test_pixel_sharded_800x800_invariance(mesh):
     np.testing.assert_allclose(
         np.asarray(albedo.z), np.asarray(r.albedo.z), rtol=1e-4, atol=1e-4
     )
+
+
+def test_sharded_filter_execute_matches_single(mesh):
+    """Filter param "mesh": the unmonitored tiled execute shards its tile
+    table over the device mesh (each chip denoises its share, one psum
+    stitches the disjoint owned regions). Output must be bit-identical to
+    the single-device device-resident path — same windows, same owned
+    extents, just distributed. 520^2 at maxMemoryMB=0 forces a multi-tile
+    grid that does not divide 8 evenly, exercising the no-op padding rows."""
+    from mygpuraytracer_tpu.denoise import Device
+
+    rng = np.random.default_rng(7)
+    n = 520
+    color = rng.uniform(0.0, 1.0, (n, n, 3)).astype(np.float32)
+    albedo = rng.uniform(0.0, 1.0, (n, n, 3)).astype(np.float32)
+
+    outs = {}
+    for tag, m in (("single", None), ("mesh", mesh)):
+        dev = Device()
+        dev.commit()
+        f = dev.new_filter("RT")
+        f.set_image("color", color.copy())
+        f.set_image("albedo", albedo.copy())
+        out = np.zeros((n, n, 3), np.float32)
+        f.set_image("output", out)
+        f.set("maxMemoryMB", 0)
+        if m is not None:
+            f.set("mesh", m)
+        f.commit()
+        f.execute()
+        outs[tag] = out
+
+    assert np.isfinite(outs["mesh"]).all()
+    np.testing.assert_array_equal(outs["mesh"], outs["single"])
