@@ -65,6 +65,17 @@ def parse_args(argv=None):
                         "packs TBN as 8-bit octahedral pairs (16-byte "
                         "rows, fastest measured: 2.213 vs f16's 2.137 "
                         "Msam/s)")
+    p.add_argument("--sort-by-material", action="store_true",
+                   help="material-sorted wavefront execution (the "
+                        "reference's SORT_BY_MATERIAL compile flag, "
+                        "pathtrace.cu:36); image is bit-identical to "
+                        "unsorted — BASELINE config #3 measures this path")
+    p.add_argument("--sort-impl", choices=("fused", "perm", "argsort"),
+                   default="fused",
+                   help="sorted-bounce implementation (render/pathtrace.py "
+                        "_sort_wavefront): 'fused' = one lean variadic "
+                        "lax.sort (6.47 Msam/s measured on config #3); "
+                        "'perm'/'argsort' kept for measurement")
     p.add_argument("--megakernel", choices=("auto", "on", "off"),
                    default="auto",
                    help="whole-iteration Pallas megakernel for supported "
@@ -190,6 +201,11 @@ def main(argv=None) -> int:
 
     mega = (jax.default_backend() != "cpu" if args.megakernel == "auto"
             else args.megakernel == "on")
+    if args.sort_by_material and args.megakernel == "auto":
+        # Sorting exists only on the wavefront (the megakernel has no
+        # material-order concept); route there so the flag measures what it
+        # names rather than silently taking the megakernel.
+        mega = False
     options = RenderOptions(
         antialiasing=not args.no_antialias,
         depth_of_field=args.depth_of_field,
@@ -198,6 +214,8 @@ def main(argv=None) -> int:
         mesh_sort={"auto": None, "off": False}.get(args.mesh_sort,
                                                    args.mesh_sort),
         winner_table=args.winner_table,
+        sort_by_material=args.sort_by_material,
+        sort_impl=args.sort_impl,
         megakernel=mega,
     )
     log = (lambda *a: None) if args.quiet else print
