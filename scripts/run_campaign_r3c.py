@@ -169,8 +169,11 @@ def run(plan, only=None, override=0):
                   f"{dev['noisy_color'].shape[0]} poses)", flush=True)
         tza = os.path.join(c.WEIGHTS_DIR, f"{slot}.tza")
         keep = keep_path(slot)
-        if not os.path.exists(keep):
-            shutil.copy(tza, keep)
+        # Refresh the restore point at EVERY slot visit: it must hold the
+        # best-so-far blob (= the one `base` is about to score), not the
+        # pre-campaign one. With the stale-keep behavior a pass-2 regression
+        # restored the pass-1-PRE blob and silently discarded pass-1's gain.
+        shutil.copy(tza, keep)
         base = eval_rmse(slot)
         print(f"### {slot} baseline vs upgraded GT: {base:.5f}", flush=True)
         t1 = time.time()
