@@ -205,7 +205,7 @@ def main() -> None:
 
     # textured+bumped 23k-face ship — BASELINE config #4's actual workload
     # ("mesh + kd/ks/emi/bump textures over BVH")
-    shiptex_ms = shiptex_f16_ms = None
+    shiptex_f32_ms = shiptex_winner_ms = None
     try:
         stx_path = os.path.join(REPO_DIR, "scenes/shipTexOnly.txt")
         if os.path.exists(stx_path):
@@ -215,16 +215,20 @@ def main() -> None:
             # drift (probe_winner_oct.py). Key was
             # shipTex23k_f16winner_msamples_per_sec through BENCH_r03; now
             # shipTex23k_winner_* with the table named in its own field.
-            _, shiptex_f16_ms = _bench_scene(
+            _, shiptex_winner_ms = _bench_scene(
                 load_scene(stx_path), megakernel=False, min_time=4.0,
                 max_iters=32, batch=4,
             )
             # exact-f32 table under its own key so the round 2-3 trend
-            # line stays comparable across rounds.
-            _, shiptex_ms = _bench_scene(
-                load_scene(stx_path), megakernel=False, min_time=4.0,
-                max_iters=32, batch=4, winner_table="f32",
-            )
+            # line stays comparable across rounds. On CPU "auto" already
+            # resolved to f32 above — don't measure the same config twice.
+            if on_tpu:
+                _, shiptex_f32_ms = _bench_scene(
+                    load_scene(stx_path), megakernel=False, min_time=4.0,
+                    max_iters=32, batch=4, winner_table="f32",
+                )
+            else:
+                shiptex_f32_ms = shiptex_winner_ms
         else:
             print(f"shipTex bench skipped: {stx_path} not found", file=sys.stderr)
     except Exception as e:
@@ -370,8 +374,8 @@ def main() -> None:
         "cornell_dof_cache_sort_msamples_per_sec": rnd(dof_ms),
         "cornell_dof_cache_sort_impl": dof_impl,
         "ship23k_msamples_per_sec": rnd(ship_ms),
-        "shipTex23k_msamples_per_sec": rnd(shiptex_ms),
-        "shipTex23k_winner_msamples_per_sec": rnd(shiptex_f16_ms),
+        "shipTex23k_msamples_per_sec": rnd(shiptex_f32_ms),
+        "shipTex23k_winner_msamples_per_sec": rnd(shiptex_winner_ms),
         "shipTex23k_winner_table": "oct" if on_tpu else "f32",
         "denoise_ms_per_frame": rnd(denoise_ms),
         "denoise9_ms_per_frame": rnd(denoise9_ms),

@@ -177,8 +177,7 @@ def main(argv=None) -> int:
         input_features, target_features = features, [main_feature]
 
     transfer_kind = args.transfer or default_transfer(main_feature, args.filter)
-    transfer = color_mod.make_transfer(
-        "linear" if transfer_kind == "linear" else transfer_kind)
+    transfer = color_mod.make_transfer(transfer_kind)
 
     def preprocess_image(image: np.ndarray, exposure: float) -> np.ndarray:
         """Transfer the main channels, clamp to 1, fp16 (preprocess.py:38-50)."""

@@ -231,7 +231,10 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     done = 0
     if args.multichip != "off":
-        done = _render_multichip(r, options, iterations, args.multichip, log)
+        # r.options, not the local options: the Renderer resolved the "auto"
+        # knobs (winner_table, mesh tier) and the sharded render path
+        # requires resolved values (ops/trace._winner_ex rejects "auto").
+        done = _render_multichip(r, r.options, iterations, args.multichip, log)
     while done < iterations:
         n = min(args.batch, iterations - done)
         r.step_many(n)

@@ -384,28 +384,37 @@ class Filter:
         in_ch = sum(3 for f in self._features() if f)
         inplace = self._output_aliases_input()
 
-        tile_count_h = tile_count_w = 1
+        split_h = split_w = 1
         tile_h = round_up(h, UNET_ALIGNMENT)
         tile_w = round_up(w, UNET_ALIGNMENT)
 
+        def counts() -> tuple:
+            # Final tile counts (unet.cpp:228-230) — the one formula used
+            # both for the outputTemp charge below and for self.tile_counts,
+            # so the budget check can never disagree with the actual grid.
+            ch = _ceil_div(h - 2 * OVERLAP, tile_h - 2 * OVERLAP) if h > tile_h else 1
+            cw = _ceil_div(w - 2 * OVERLAP, tile_w - 2 * OVERLAP) if w > tile_w else 1
+            return ch, cw
+
         def scratch() -> int:
             temp = 0
-            if inplace and tile_count_h * tile_count_w > 1:
+            ch, cw = counts()
+            if inplace and ch * cw > 1:
                 temp = round_up(3 * h * w * 4, 64)  # outputTemp, unet.cpp:455
             return _scratch_bytes(tile_h, tile_w, in_ch, temp)
 
         while scratch() > max_scratch:
             if tile_h > min_tile and tile_h > tile_w:
-                tile_count_h += 1
+                split_h += 1
                 tile_h = max(
-                    round_up(_ceil_div(h - 2 * OVERLAP, tile_count_h),
+                    round_up(_ceil_div(h - 2 * OVERLAP, split_h),
                              UNET_ALIGNMENT) + 2 * OVERLAP,
                     min_tile,
                 )
             elif tile_w > min_tile:
-                tile_count_w += 1
+                split_w += 1
                 tile_w = max(
-                    round_up(_ceil_div(w - 2 * OVERLAP, tile_count_w),
+                    round_up(_ceil_div(w - 2 * OVERLAP, split_w),
                              UNET_ALIGNMENT) + 2 * OVERLAP,
                     min_tile,
                 )
@@ -413,11 +422,7 @@ class Filter:
                 break
 
         self.tile_shape = (tile_h, tile_w)
-        # Final tile counts (unet.cpp:228-230).
-        self.tile_counts = (
-            _ceil_div(h - 2 * OVERLAP, tile_h - 2 * OVERLAP) if h > tile_h else 1,
-            _ceil_div(w - 2 * OVERLAP, tile_w - 2 * OVERLAP) if w > tile_w else 1,
-        )
+        self.tile_counts = counts()
 
     def _tile_grid(self, h: int, w: int):
         """Reference-shaped tile list [(oh, ow, out_h, out_w)]: output-region

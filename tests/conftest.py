@@ -87,6 +87,9 @@ SLOW_TESTS = {
     "test_raytrace_cli_multichip[pixels]",
     "test_winner_table_f16_matches_f32[False]",
     "test_winner_table_f16_matches_f32[True]",
+    "test_winner_table_oct_matches_f32[False]",
+    "test_winner_table_oct_matches_f32[True]",
+    "test_nearfar_walk_matches_oracle_open_sky",
     "test_textured_pallas_tier_matches_chunked[False-rows]",
     "test_textured_pallas_tier_matches_chunked[True-rows]",
     "test_textured_tier_sort_modes_identical",

@@ -160,6 +160,28 @@ def test_raytrace_cli_multichip(tmp_path, mode):
     np.testing.assert_allclose(samp("seq"), samp(mode), atol=1.5 / 255)
 
 
+def test_raytrace_cli_multichip_gets_resolved_options(tmp_path, monkeypatch):
+    """The CLI must hand _render_multichip the Renderer's RESOLVED options:
+    on TPU the sharded render path reaches ops/trace._winner_ex, which
+    rejects winner_table="auto" (the CLI default) by design. CPU runs skip
+    the rows tier, so this pins the contract directly."""
+    import mygpuraytracer_tpu.apps.raytrace as rt
+
+    seen = {}
+
+    def fake_multichip(r, options, iterations, mode, log):
+        seen["options"] = options
+        return iterations  # pretend everything rendered
+
+    monkeypatch.setattr(rt, "_render_multichip", fake_multichip)
+    rc = rt.main(["cornell", "--resolution", "16", "16", "--iterations", "4",
+                  "--no-denoise", "--quiet", "--multichip", "sample",
+                  "--out-dir", str(tmp_path)])
+    assert rc == 0
+    assert seen["options"].winner_table != "auto"
+    assert seen["options"].mesh_sort is not None  # auto resolved at init
+
+
 def test_preprocess_cli_roundtrip(tmp_path):
     """preprocess CLI (training/preprocess.py parity): EXR feature groups ->
     npy input/target pairs loadable by TileDataset, with the reference's
