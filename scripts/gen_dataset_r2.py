@@ -72,18 +72,26 @@ DIR_SCENES = [
 ]
 
 
-def _step_bounded(r, spp, batch=128):
+def _step_bounded(r, spp, batch=128, beat_s=120.0):
     """step_many in bounded programs with host syncs between them.
 
     A single 2048-iteration wavefront program over the 23k-face ship runs
     long enough that the TPU worker dies mid-program ('kernel fault');
-    ~4s programs with a sync in between keep the worker alive."""
+    ~4s programs with a sync in between keep the worker alive.
+
+    Prints a heartbeat every `beat_s` seconds: the stage watchdogs kill on
+    ~25 min of log/file silence, and an 18-min-per-pose mesh clean plus a
+    cold remote compile can exceed that with no output otherwise."""
     done = 0
+    last = time.time()
     while done < spp:
         n = min(batch, spp - done)
         r.step_many(n)
         np.asarray(r.image.x[:4])  # block_until_ready is a no-op here
         done += n
+        if done < spp and time.time() - last >= beat_s:
+            print(f"  ...{done}/{spp} spp", flush=True)
+            last = time.time()
 
 
 def save_master(out_dir, stem, noisy_r, clean_r):
