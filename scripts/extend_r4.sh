@@ -51,7 +51,7 @@ run_watched() {  # run_watched <done-marker-regex> <log> <end-ts-or-0> <cmd...>
         wait "$cpid"
         return 0
       fi
-      if [ -z "$(find results weights "$log" -mmin -25 2>/dev/null | head -1)" ]; then
+      if [ -z "$(find results data/master_r2 data/master_r2_dir weights "$log" -mmin -25 2>/dev/null | head -1)" ]; then
         echo "watchdog: no progress in 25 min; killing pid $cpid" >&2
         kill "$cpid" 2>/dev/null; sleep 10; kill -9 "$cpid" 2>/dev/null
         break
@@ -66,8 +66,10 @@ run_watched() {  # run_watched <done-marker-regex> <log> <end-ts-or-0> <cmd...>
 }
 
 echo "$CAMPAIGN_DEADLINE" > /tmp/r4_deadline
-run_watched "R4 CAMPAIGN DONE" /tmp/campaign_r4ext.log "$CAMPAIGN_DEADLINE" \
-  python scripts/run_campaign_r4b.py
+# Log is keyed by deadline: a stale "R4 CAMPAIGN DONE" from an earlier
+# extension in a shared log would make run_watched skip this one entirely.
+run_watched "R4 CAMPAIGN DONE" "/tmp/campaign_r4ext_${CAMPAIGN_DEADLINE}.log" \
+  "$CAMPAIGN_DEADLINE" python scripts/run_campaign_r4b.py
 
 rm -f /tmp/final_eval_r4b.log
 run_watched "ALLDONE" /tmp/final_eval_r4b.log 0 python scripts/eval_r4.py
