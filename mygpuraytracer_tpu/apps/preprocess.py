@@ -155,6 +155,9 @@ def parse_args(argv=None):
                         "(overrides command-line arguments)")
     p.add_argument("--ext", default="exr", choices=["exr", "pfm"],
                    help="feature-image extension to scan for")
+    from ..utils.platform import add_platform_flag
+
+    add_platform_flag(p)
     args = p.parse_args(argv)
     if args.config:
         with open(args.config) as fh:
@@ -165,6 +168,13 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    # Host-side preprocessing defaults to CPU: under the axon sitecustomize
+    # the pinned TPU backend would remote-compile every distinct image shape
+    # through the tunnel (and fail outright with the worker down) for a job
+    # with no device-side value. --platform overrides.
+    from ..utils.platform import force_platform
+
+    force_platform(getattr(args, "platform", None) or "cpu")
     from ..denoise import color as color_mod
 
     features = normalize_features(args.features or ["hdr", "alb", "nrm"])

@@ -206,6 +206,10 @@ def main(argv=None) -> int:
         # material-order concept); route there so the flag measures what it
         # names rather than silently taking the megakernel.
         mega = False
+    elif args.sort_by_material and mega:
+        print("warning: --sort-by-material has no effect with "
+              "--megakernel on (sorting exists only on the wavefront); "
+              "timings will measure the unsorted megakernel", file=sys.stderr)
     options = RenderOptions(
         antialiasing=not args.no_antialias,
         depth_of_field=args.depth_of_field,

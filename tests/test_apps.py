@@ -182,6 +182,40 @@ def test_raytrace_cli_multichip_gets_resolved_options(tmp_path, monkeypatch):
     assert seen["options"].mesh_sort is not None  # auto resolved at init
 
 
+def test_raytrace_cli_warns_sort_with_explicit_megakernel(
+        tmp_path, monkeypatch, capsys):
+    """--sort-by-material with --megakernel on cannot sort (the megakernel
+    has no material-order concept); the CLI must say so instead of letting
+    a timing run silently measure the unsorted megakernel. The render is
+    stubbed: the megakernel itself cannot execute on the CPU backend."""
+    import mygpuraytracer_tpu.apps.raytrace as rt
+
+    monkeypatch.setattr(rt, "_render_multichip",
+                        lambda r, options, iterations, mode, log: iterations)
+    rc = rt.main(["cornell", "--resolution", "16", "16", "--iterations", "2",
+                  "--no-denoise", "--quiet", "--megakernel", "on",
+                  "--multichip", "sample", "--sort-by-material",
+                  "--out-dir", str(tmp_path)])
+    assert rc == 0
+    assert "no effect" in capsys.readouterr().err
+
+
+def test_preprocess_cli_defaults_to_cpu(tmp_path, monkeypatch):
+    """Host-side preprocessing must not run on a pinned accelerator backend
+    (under the axon sitecustomize it would remote-compile per image shape);
+    the CLI forces CPU unless --platform overrides."""
+    import mygpuraytracer_tpu.apps.preprocess as pp
+
+    seen = {}
+    monkeypatch.setattr(
+        "mygpuraytracer_tpu.utils.platform.force_platform",
+        lambda name: seen.setdefault("platform", name))
+    rc = pp.main(["ldr", "-D", str(tmp_path / "none"),
+                  "-P", str(tmp_path / "preproc"), "-t", "missing"])
+    assert rc == 0
+    assert seen["platform"] == "cpu"
+
+
 def test_preprocess_cli_roundtrip(tmp_path):
     """preprocess CLI (training/preprocess.py parity): EXR feature groups ->
     npy input/target pairs loadable by TileDataset, with the reference's
