@@ -14,7 +14,10 @@ Covers all five BASELINE.md configs plus the denoiser metrics:
   - denoise9_ms_per_frame / rmse_ldr_denoised9_...: same measurements for
     the 9-channel normal-guided slot (rt_ldr_alb_nrm, the stronger slot
     since round 3) under separate keys so the 6-channel trend stays
-    comparable across rounds.
+    comparable across rounds;
+  - denoise_hdr_ms_per_frame / rmse_ldr_denoised_hdr_...: the HDR pipeline
+    (rt_hdr_alb — the slot BASELINE config #5 names: autoexposure + PU
+    transfer, unclamped out), scored in the display domain like the others.
 
 Timing excludes compilation and uses explicit device->host syncs; samples
 are dispatched as one device program per batch.
@@ -299,12 +302,39 @@ def main() -> None:
     except Exception as e:
         print(f"denoise9 bench failed: {e}", file=sys.stderr)
 
+    # HDR variant (rt_hdr_alb — the slot BASELINE config #5 names):
+    # autoexposure + PU transfer, unclamped radiance out. Scored below in
+    # the display domain like the LDR keys so the bars are comparable.
+    denoise_hdr_ms = None
+    denoised_hdr_16 = None
+    try:
+        if denoise_ms is not None:
+            params_h, _ = load_denoiser_params("rt_hdr_alb")
+
+            def denoise_hdr_once():
+                return denoise_accumulator(
+                    r.image, r.albedo, jnp.int32(r.iteration), params_h,
+                    r.meta.resolution, hdr=True,
+                )
+
+            outh = denoise_hdr_once()  # compile
+            np.asarray(outh[:2, :2])
+            t0 = time.perf_counter()
+            runs = 16
+            for _ in range(runs):
+                outh = denoise_hdr_once()
+            np.asarray(outh[:2, :2])
+            denoise_hdr_ms = 1000 * (time.perf_counter() - t0) / runs
+            denoised_hdr_16 = np.asarray(outh)
+    except Exception as e:
+        print(f"denoise hdr bench failed: {e}", file=sys.stderr)
+
     # ---- 3. RMSE of denoised 16 spp vs 16384 spp ground truth ---------------
     # Ground truth is the framework's OWN converged render (no CUDA machine
     # exists here) — the key names say so. Both the display-domain ([0,1]
     # clamped, the LDR filter's native domain) and the raw unclamped RMSE are
     # reported so trends across rounds stay comparable.
-    rmse = rmse_raw = rmse9 = None
+    rmse = rmse_raw = rmse9 = rmse_hdr = None
     try:
         if denoised_16 is not None:
             gt = Renderer(get_scene("cornell.txt"),
@@ -331,6 +361,10 @@ def main() -> None:
             if denoised9_16 is not None:
                 d9 = np.clip(denoised9_16, 0.0, 1.0).astype(np.float64) - gt_disp
                 rmse9 = float(np.sqrt(np.mean(d9 * d9)))
+            if denoised_hdr_16 is not None:
+                dh = (np.clip(denoised_hdr_16, 0.0, 1.0).astype(np.float64)
+                      - gt_disp)
+                rmse_hdr = float(np.sqrt(np.mean(dh * dh)))
     except Exception as e:
         print(f"rmse bench failed: {e}", file=sys.stderr)
 
@@ -379,9 +413,11 @@ def main() -> None:
         "shipTex23k_winner_table": "oct" if on_tpu else "f32",
         "denoise_ms_per_frame": rnd(denoise_ms),
         "denoise9_ms_per_frame": rnd(denoise9_ms),
+        "denoise_hdr_ms_per_frame": rnd(denoise_hdr_ms),
         "rmse_ldr_denoised_16spp_vs_own_16kspp": rnd(rmse, 5),
         "rmse_raw_denoised_16spp_vs_own_16kspp": rnd(rmse_raw, 5),
         "rmse_ldr_denoised9_16spp_vs_own_16kspp": rnd(rmse9, 5),
+        "rmse_ldr_denoised_hdr_16spp_vs_own_16kspp": rnd(rmse_hdr, 5),
         "sanity": {
             "finite": bool(np.isfinite(img_obj).all()),
             "nonzero": bool(img_obj.mean() > 0.01),

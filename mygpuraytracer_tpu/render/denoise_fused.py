@@ -26,18 +26,23 @@ from ..denoise.unet import UNET_ALIGNMENT, round_up, unet_apply
 from ..ops.vec3 import Vec3
 
 
-@functools.partial(jax.jit, static_argnames=("resolution",))
+@functools.partial(jax.jit, static_argnames=("resolution", "hdr"))
 def denoise_accumulator(
     image: Vec3, albedo: Vec3, iteration, params, resolution: tuple[int, int],
-    normal: Vec3 | None = None,
+    normal: Vec3 | None = None, hdr: bool = False,
 ):
     """Normalize + pack + U-Net + unpack, fully on device.
 
     image/albedo (and optionally normal): flat [N] Vec3 accumulators;
-    iteration: i32 scalar. With ``normal`` the 9-channel rt_ldr_alb_nrm
-    packing is used (core/unet.cpp:693-763 feature table), else the
-    6-channel rt_ldr_alb one. Returns [H, W, 3] denoised output (LDR,
-    clamped).
+    iteration: i32 scalar. With ``normal`` the 9-channel *_alb_nrm packing
+    is used (core/unet.cpp:693-763 feature table), else the 6-channel
+    *_alb one. Default is the LDR pipeline (sRGB transfer, clamped [0,1]
+    output — the app's CPUdenoise semantics, main.cpp:193-203).
+
+    ``hdr=True`` switches to the HDR pipeline the rt_hdr_* weights are
+    trained for: autoexposure input scale from the normalized color
+    (core/color.cpp:33-84, applied per unet.cpp:134-144), PU transfer,
+    unclamped radiance out — feed rt_hdr_alb/rt_hdr_alb_nrm params.
     """
     w, h = resolution
     hp, wp = round_up(h, UNET_ALIGNMENT), round_up(w, UNET_ALIGNMENT)
@@ -52,10 +57,17 @@ def denoise_accumulator(
     color = plane(image, inv_iter)
     alb = plane(albedo, 1.0)
 
-    # input_reorder.ispc semantics (LDR): sanitize to [0,1], sRGB forward;
+    # input_reorder.ispc semantics: color scaled + sanitized + transferred;
     # albedo clamped only; normal snorm [-1,1] -> [0,1].
-    tf = color_mod.SRGBTransfer()
-    color = tf.forward(color_mod.sanitize(color, 0.0, 1.0))
+    if hdr:
+        # Autoexposure on the real pixels only (the alignment padding's
+        # zeros would bias the log-mean down).
+        in_scale = color_mod.autoexposure(color[:h, :w])
+        tf = color_mod.PUTransfer()
+        color = tf.forward(color_mod.sanitize(color * in_scale, 0.0, jnp.inf))
+    else:
+        tf = color_mod.SRGBTransfer()
+        color = tf.forward(color_mod.sanitize(color, 0.0, 1.0))
     alb = color_mod.sanitize(alb, 0.0, 1.0)
     chans = [color, alb]
     if normal is not None:
@@ -71,9 +83,11 @@ def denoise_accumulator(
     params16 = jax.tree.map(lambda a: a.astype(net_dtype), params)
     y = unet_apply(params16, x[None])[0].astype(jnp.float32)
 
-    # output_reorder.ispc: sanitize, inverse transfer, LDR clamp.
+    # output_reorder.ispc: sanitize, inverse transfer, then LDR clamp or
+    # HDR un-exposure (output_scale = 1/input_scale).
     y = color_mod.sanitize(y, 0.0, jnp.inf)
-    y = jnp.minimum(tf.inverse(y), 1.0)
+    y = tf.inverse(y)
+    y = y / in_scale if hdr else jnp.minimum(y, 1.0)
     return y[:h, :w]
 
 

@@ -49,3 +49,37 @@ def test_fused_matches_infer(small_render, channels):
     ))
     assert fused.shape == host.shape
     np.testing.assert_allclose(fused, host, atol=2e-5)
+
+
+@pytest.mark.parametrize("channels", [6, 9])
+def test_fused_hdr_matches_infer(small_render, channels):
+    """hdr=True = the rt_hdr_* pipeline: autoexposure input scale on the
+    normalized color (core/color.cpp:33-84, unet.cpp:134-144), PU transfer,
+    unclamped radiance out scaled back by 1/input_scale."""
+    from mygpuraytracer_tpu.denoise import color as color_mod
+
+    r = small_render
+    params = init_unet_params(channels, seed=4)
+    it = max(r.iteration, 1)
+    beauty = r.beauty()  # raw HDR radiance mean (no clamp)
+    planes = [beauty, r.albedo_image()]
+    normal = None
+    if channels == 9:
+        planes.append(r.normal_image())
+        normal = r.normal
+    x = np.concatenate(planes, axis=-1).astype(np.float32)
+
+    scale = float(color_mod.autoexposure(jnp.asarray(beauty)))
+    host_inf = Infer(params, transfer="pu", hdr=True)
+    host_inf.transfer.input_scale = scale
+    host = host_inf(x)
+
+    fused = np.asarray(denoise_accumulator(
+        r.image, r.albedo, jnp.int32(it), params, r.meta.resolution,
+        normal=normal, hdr=True,
+    ))
+    assert fused.shape == host.shape
+    assert np.isfinite(fused).all()
+    # rtol, not just atol: HDR output is unbounded and the PU inverse's
+    # exponential branch amplifies f32 rounding on emitter-bright pixels.
+    np.testing.assert_allclose(fused, host, rtol=5e-5, atol=2e-5)
