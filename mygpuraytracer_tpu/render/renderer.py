@@ -315,7 +315,9 @@ class Renderer:
         Returns (denoised HxWx3, beauty HxWx3). Equivalent of the app loop's
         pathtrace + CPUdenoise, minus the reference's per-frame
         GPU->CPU->GPU copies. ``slot`` selects the filter weights; a
-        ``*_nrm`` slot feeds the first-hit normal AOV as the third feature.
+        ``*_nrm`` slot feeds the first-hit normal AOV as the third feature
+        and an ``rt_hdr*`` slot switches the packing to the HDR pipeline
+        (autoexposure + PU transfer, unclamped radiance out).
         """
         from .denoise_fused import denoise_accumulator, load_denoiser_params
 
@@ -328,6 +330,7 @@ class Renderer:
             params,
             self.meta.resolution,
             normal=self.normal if slot.endswith("_nrm") else None,
+            hdr=slot.startswith("rt_hdr"),
         )
         return np.asarray(out), self.beauty()
 

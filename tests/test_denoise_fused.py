@@ -83,3 +83,26 @@ def test_fused_hdr_matches_infer(small_render, channels):
     # rtol, not just atol: HDR output is unbounded and the PU inverse's
     # exponential branch amplifies f32 rounding on emitter-bright pixels.
     np.testing.assert_allclose(fused, host, rtol=5e-5, atol=2e-5)
+
+
+def test_render_denoised_routes_hdr_slot(monkeypatch):
+    """render_denoised(slot='rt_hdr_alb') must switch the fused packing to
+    the HDR pipeline (the LDR packing would clamp+sRGB the radiance the
+    rt_hdr weights were never trained on)."""
+    import mygpuraytracer_tpu.render.renderer as renderer_mod
+    from mygpuraytracer_tpu.render import denoise_fused
+
+    seen = {}
+    real = denoise_fused.denoise_accumulator
+
+    def spy(*args, **kw):
+        seen["hdr"] = kw.get("hdr", False)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(denoise_fused, "denoise_accumulator", spy)
+    scene = cornell_box()
+    scene.set_resolution(32, 32)
+    r = Renderer(scene, RenderOptions(megakernel=False), seed=2)
+    out, beauty = r.render_denoised(iterations=2, batch=2, slot="rt_hdr_alb")
+    assert seen["hdr"] is True
+    assert np.isfinite(out).all() and out.shape == beauty.shape
