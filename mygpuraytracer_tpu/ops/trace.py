@@ -509,6 +509,7 @@ def intersect_soa(
     meta, dev, o: Vec3, d: Vec3, face_chunk: int = 128, bounding_box: bool = False,
     mesh_pallas: bool | None = None, mesh_sort: bool | str = False,
     mesh_tier: str = "lists", winner_table: str = "f32",
+    active: jnp.ndarray | None = None,
 ) -> HitSoA:
     """Nearest hit over the whole scene with materials resolved in-loop.
 
@@ -517,12 +518,39 @@ def intersect_soa(
     stream entirely (scalar lax.cond over the wavefront) and per-ray misses
     are masked out. Results are identical either way — the AABB contains all
     of its geom's faces.
+
+    ``active`` (bool[N], optional) marks lanes whose result the caller will
+    use. Inactive lanes report a guaranteed mesh MISS and generate no mesh
+    visits. Rationale (scripts/probe_liveness.py): terminated wavefront
+    lanes keep their stale ray (shade_soa passes dead lanes through), and a
+    stale ray still slab-hits clusters, so on open mesh scenes — shipOnly
+    has only ~3% of lanes alive after bounce 0 — the ~97% dead lanes
+    dominate every per-row visit list / block union the cluster tiers
+    stream. Masked lanes take the wavefront-PADDING ray convention the
+    kernels already guarantee zero visits for (far origin, +x direction,
+    t_cap 0 — mesh_rows_hit pad1d fills). Primitive intersections are
+    unaffected (elementwise, nothing to skip).
     """
     (t_best, normal, is_obj, col, spec, spec_ex, refl, refr, ior, emit,
      mat_id, uu, vv, kd, ks, ke, bump, set_mat) = intersect_primitives_soa(meta, o, d)
 
     # ---- meshes ------------------------------------------------------------
     if meta.has_obj:
+        if active is not None:
+            # Rebind the MESH-query ray only (primitives above already ran):
+            # dead lanes become padding-convention rays so every tier's
+            # slab/visit machinery drops them; their mesh result is forced
+            # to miss after the query.
+            far = jnp.float32(1e7)
+            o = Vec3(jnp.where(active, o.x, far),
+                     jnp.where(active, o.y, far),
+                     jnp.where(active, o.z, far))
+            d = Vec3(jnp.where(active, d.x, 1.0),
+                     jnp.where(active, d.y, 0.0),
+                     jnp.where(active, d.z, 0.0))
+            t_query = jnp.where(active, t_best, 0.0)
+        else:
+            t_query = t_best
         with_bump = any(g.bump > 0 for g in meta.geoms)
         n_extras = 6 if with_bump else 0
 
@@ -579,14 +607,14 @@ def intersect_soa(
                 order = jnp.argsort(key, stable=True)
                 os_ = Vec3(o.x[order], o.y[order], o.z[order])
                 ds_ = Vec3(d.x[order], d.y[order], d.z[order])
-                mt_s, mn_s, mg_s, ex_s = pall(os_, ds_, t_best[order])
+                mt_s, mn_s, mg_s, ex_s = pall(os_, ds_, t_query[order])
                 unscatter = lambda a: jnp.zeros_like(a).at[order].set(a)
                 mt = unscatter(mt_s)
                 mn = Vec3(unscatter(mn_s.x), unscatter(mn_s.y), unscatter(mn_s.z))
                 mgid = unscatter(mg_s)
                 ex_p = tuple(unscatter(a) for a in ex_s)
             else:
-                mt, mn, mgid, ex_p = pall(o, d, t_best)
+                mt, mn, mgid, ex_p = pall(o, d, t_query)
             if meta.has_textures:
                 mu, mv = ex_p[0], ex_p[1]
                 bex = ex_p[2:]
@@ -612,6 +640,10 @@ def intersect_soa(
             mt = jnp.where(box_mask, mt, jnp.inf)
         else:
             mt, mn, mu, mv, mgid, bex = run_mesh(None)
+        if active is not None:
+            # Dead lanes entered the tiers with t_cap 0, which reads back as
+            # mt == 0 (< t_best); force the mesh miss the contract promises.
+            mt = jnp.where(active, mt, jnp.inf)
         better = mt < t_best
         t_best = jnp.where(better, mt, t_best)
         mesh_nrm = v3.normalize(mn)

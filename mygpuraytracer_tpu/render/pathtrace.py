@@ -348,6 +348,12 @@ def render_sample(
                 mesh_sort=options.mesh_sort,
                 mesh_tier=options.mesh_tier,
                 winner_table=options.winner_table,
+                # Terminated lanes keep a stale ray (shade passes them
+                # through) that still slab-hits mesh clusters; mask them out
+                # of the mesh tiers' visit lists (on shipOnly only ~3% of
+                # lanes survive bounce 0 — scripts/probe_liveness.py).
+                # Image-invariant: shade ignores every field of a dead lane.
+                active=s.remaining > 0,
             )
             if do_sort:
                 s, h, pix = _sort_wavefront(

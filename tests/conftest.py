@@ -54,6 +54,7 @@ def cornell_scene(reference_scenes):
 SLOW_TESTS = {
     "test_wavefront_pallas_mesh_tier_matches_chunked[conds]",
     "test_wavefront_pallas_mesh_tier_matches_chunked[rows_dma]",
+    "test_intersect_active_mask_contract",
     "test_bvh_tier_matches_oracle",
     "test_fastpath_mesh_uv",
     "test_fastpath_matches_reference_path[cornell.txt]",

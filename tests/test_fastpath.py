@@ -332,3 +332,50 @@ def test_bvh_scenes_route_to_wavefront_by_default():
     assert supports_megakernel(
         meta, RenderOptions(megakernel=True, bounce_megakernel=True)
     )
+
+
+def test_intersect_active_mask_contract():
+    """intersect_soa(active=...): inactive lanes report a guaranteed mesh
+    MISS (and generate no mesh visits — the perf point, measured on TPU in
+    docs/MESH_TIERS.md "dead-lane masking"), while active lanes are bitwise
+    unaffected. Covers the Pallas rows tier, the chunked fallback, and the
+    need-partition path the bounce loop combines it with."""
+    from mygpuraytracer_tpu.ops.trace import intersect_soa
+    from mygpuraytracer_tpu.ops.vec3 import Vec3
+    from mygpuraytracer_tpu.scene import load_scene
+    from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+
+    scene = load_scene("scenes/cornellShip.txt")
+    scene.set_resolution(8, 8)
+    dev, meta = build_device_scene(scene, 128)
+
+    rng = np.random.default_rng(7)
+    n = 8 * 128 + 33  # one (8,128) tile + ragged tail
+    o_np = rng.uniform(-4, 9, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    aim = np.array([1.0, 3.0, 3.0]) - o_np[: n // 2]
+    d_np[: n // 2] = aim + 0.3 * rng.normal(size=(n // 2, 3))
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+    active = jnp.asarray(rng.random(n) < 0.25)
+
+    for kw in (
+        dict(mesh_pallas=True, mesh_tier="rows"),
+        dict(mesh_pallas=True, mesh_tier="rows", mesh_sort="need"),
+        dict(mesh_pallas=False),
+    ):
+        full = intersect_soa(meta, dev, o, d, 128, **kw)
+        masked = intersect_soa(meta, dev, o, d, 128, active=active, **kw)
+        act = np.asarray(active)
+        # active lanes bitwise identical
+        for name in ("t", "hit", "is_obj", "material_id", "u", "v"):
+            f, m = np.asarray(getattr(full, name)), np.asarray(getattr(masked, name))
+            np.testing.assert_array_equal(f[act], m[act], err_msg=f"{name} {kw}")
+        # inactive lanes: never a mesh winner; t can only grow back to the
+        # primitives-only value (the mesh could only have reduced it)
+        m_obj = np.asarray(masked.is_obj)[~act]
+        assert not m_obj.any(), f"mesh winner on a dead lane {kw}"
+        t_m = np.asarray(masked.t)[~act]
+        t_f = np.asarray(full.t)[~act]
+        assert (t_m >= t_f - 1e-5).all(), kw
