@@ -48,4 +48,10 @@ def bench(tag, path, res, batch=4, iters=16, **opt):
 if __name__ == "__main__":
     bench("shipOnly 800 masked", "scenes/shipOnly.txt", 800)
     bench("shipTex 800 masked", "scenes/shipTexOnly.txt", 800)
+    # With dead lanes masked the "need" key is ~3% True from bounce 1 on,
+    # so the partition that measured a LOSS on mesh-only scenes (all stale
+    # lanes "reached") may now pay: alive lanes compact into a few dense
+    # rows instead of 4-per-row sparsity across 5000 rows.
+    bench("shipOnly 800 masked+need", "scenes/shipOnly.txt", 800,
+          mesh_sort="need")
     print("PROBE DONE", flush=True)
