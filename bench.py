@@ -1,5 +1,12 @@
 """Framework benchmark — prints ONE JSON line for the driver.
 
+Structure (round 5): the result dict is emitted (one flushed JSON line)
+after EVERY completed phase, so a timeout or crash anywhere still leaves
+the latest complete line in the tail for the driver to parse — round 4's
+print-only-at-the-end form lost every number to a driver timeout during
+the final risky config (BENCH_r04.json: rc=124, parsed=null). The driver
+takes the last parseable line; later emissions strictly add keys.
+
 Covers all five BASELINE.md configs plus the denoiser metrics:
   - value/unit: Msamples/sec path-tracing scenes/cornellObj.txt at the
     canonical 800x800 depth-8 workload (the north-star scene; >= 50 target);
@@ -7,6 +14,10 @@ Covers all five BASELINE.md configs plus the denoiser metrics:
     Msamples/sec: the other four BASELINE configs (#1-#4);
   - denoise_ms_per_frame: fused on-device render->denoise (rt_ldr_alb,
     albedo-guided) U-Net execute time at 800x800;
+  - denoise_standalone_1080p_ms: the oidnBenchmark headline cell
+    (RT hdr+alb+nrm at 1920x1080, apps/oidnBenchmark.cpp:182-209) through
+    the standalone Filter API's device-resident execute — tracks the
+    round-4 filter work across rounds;
   - rmse_{ldr,raw}_denoised_16spp_vs_own_16kspp: RMSE of the denoised
     16 spp cornell render against the framework's own 16384 spp converged
     render (the 1e-2 bar; no CUDA machine exists here, so the own converged
@@ -33,6 +44,15 @@ import numpy as np
 
 
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+START_TIME = time.time()
+# Worst-case wall budget the whole bench must fit under (round 3's
+# successful envelope was ~75 min; round 4 died past it). The risky
+# final config's subprocess timeout shrinks to whatever remains.
+WALL_BUDGET_S = 70 * 60
+
+
+def _elapsed():
+    return time.time() - START_TIME
 
 
 def _sub_env():
@@ -49,9 +69,9 @@ def _run_isolated(which, timeout):
 
     A config whose device program trips the TPU worker's ~60 s runtime
     watchdog crashes the worker and takes its client process down with it
-    (reproduced 2026-08-18/19). In-process that would null every metric —
-    bench prints its single JSON line only at the end. Isolated, a crash
-    costs only this config's key."""
+    (reproduced 2026-08-18/19). Isolated, a crash costs only this config's
+    key — and since round 5 the parent has already emitted every other
+    metric before this runs."""
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--sub", which],
@@ -71,7 +91,7 @@ def _run_isolated(which, timeout):
     return {}
 
 
-def _wait_tunnel(max_wait=360):
+def _wait_tunnel(max_wait=240):
     """Health-gate after a possibly-crashed subprocess: a wedged axon worker
     recovers in ~4 min. Probe with a trivial jit in a SUBPROCESS so a hang
     can't wedge this process; give up (and let callers proceed) after
@@ -170,16 +190,54 @@ def main() -> None:
             return load_scene(path)
         return cornell_box()
 
+    rnd = lambda v, k=2: None if v is None else round(v, k)
+    result = {
+        "metric": "cornellObj_800x800_depth8_path_trace",
+        "value": None,
+        "unit": "Msamples/s",
+        "vs_baseline": None,
+        "cornell_msamples_per_sec": None,
+        "cornellGlass_msamples_per_sec": None,
+        "cornell_dof_cache_sort_msamples_per_sec": None,
+        "cornell_dof_cache_sort_impl": None,
+        "ship23k_msamples_per_sec": None,
+        "shipTex23k_msamples_per_sec": None,
+        "shipTex23k_winner_msamples_per_sec": None,
+        "shipTex23k_winner_table": "oct" if on_tpu else "f32",
+        "denoise_ms_per_frame": None,
+        "denoise9_ms_per_frame": None,
+        "denoise_hdr_ms_per_frame": None,
+        "denoise_standalone_1080p_ms": None,
+        "rmse_ldr_denoised_16spp_vs_own_16kspp": None,
+        "rmse_raw_denoised_16spp_vs_own_16kspp": None,
+        "rmse_ldr_denoised9_16spp_vs_own_16kspp": None,
+        "rmse_ldr_denoised_hdr_16spp_vs_own_16kspp": None,
+        "sanity": None,
+    }
+
+    def emit():
+        # One self-contained JSON line per completed phase, flushed so a
+        # SIGKILL can't strand it in a stdio buffer. The driver keeps the
+        # last parseable line; each emission is a superset of the previous.
+        print(json.dumps(result), flush=True)
+
     # ---- 1. cornellObj (north-star scene) + cornell Msamples/s -------------
     robj, ms_obj = _bench_scene(get_scene("cornellObj.txt"), on_tpu)
     img_obj = robj.beauty()
+    result["value"] = round(ms_obj, 2)
+    result["vs_baseline"] = round(ms_obj / 50.0, 3)
+    result["sanity"] = {
+        "finite": bool(np.isfinite(img_obj).all()),
+        "nonzero": bool(img_obj.mean() > 0.01),
+    }
     rc, ms_cornell = _bench_scene(get_scene("cornell.txt"), on_tpu)
+    result["cornell_msamples_per_sec"] = round(ms_cornell, 2)
+    emit()
 
     # ---- 1a. BASELINE config #2: glass/Fresnel ------------------------------
     # (config #3 — DoF + cache + sort — runs LAST, subprocess-isolated: its
     # sorted wavefront is the one program class that has crashed the TPU
     # worker, and a worker crash takes the whole client down.)
-    glass_ms = None
     try:
         from mygpuraytracer_tpu.scene.builtin import cornell_glass
 
@@ -187,13 +245,14 @@ def main() -> None:
         glass = (load_scene(glass_path) if os.path.exists(glass_path)
                  else cornell_glass())
         _, glass_ms = _bench_scene(glass, on_tpu)
+        result["cornellGlass_msamples_per_sec"] = rnd(glass_ms)
     except Exception as e:
         print(f"glass bench failed: {e}", file=sys.stderr)
+    emit()
 
     # ---- 1b. 23k-face mesh via the wavefront cluster-BVH Pallas tier --------
     # (honest number: far below the primitive-scene tiers; docs/MESH_TIERS.md.
-    # batch 8 keeps each program under the TPU worker's runtime watchdog.)
-    ship_ms = None
+    # batch 4 keeps each program under the TPU worker's runtime watchdog.)
     try:
         ship_path = os.path.join(REPO_DIR, "scenes/shipOnly.txt")
         if os.path.exists(ship_path):
@@ -201,14 +260,15 @@ def main() -> None:
             _, ship_ms = _bench_scene(
                 ship, megakernel=False, min_time=4.0, max_iters=32, batch=4
             )
+            result["ship23k_msamples_per_sec"] = rnd(ship_ms)
         else:
             print(f"ship bench skipped: {ship_path} not found", file=sys.stderr)
     except Exception as e:
         print(f"ship bench failed: {e}", file=sys.stderr)
+    emit()
 
     # textured+bumped 23k-face ship — BASELINE config #4's actual workload
     # ("mesh + kd/ks/emi/bump textures over BVH")
-    shiptex_f32_ms = shiptex_winner_ms = None
     try:
         stx_path = os.path.join(REPO_DIR, "scenes/shipTexOnly.txt")
         if os.path.exists(stx_path):
@@ -222,6 +282,8 @@ def main() -> None:
                 load_scene(stx_path), megakernel=False, min_time=4.0,
                 max_iters=32, batch=4,
             )
+            result["shipTex23k_winner_msamples_per_sec"] = rnd(shiptex_winner_ms)
+            emit()
             # exact-f32 table under its own key so the round 2-3 trend
             # line stays comparable across rounds. On CPU "auto" already
             # resolved to f32 above — don't measure the same config twice.
@@ -230,12 +292,15 @@ def main() -> None:
                     load_scene(stx_path), megakernel=False, min_time=4.0,
                     max_iters=32, batch=4, winner_table="f32",
                 )
+                result["shipTex23k_msamples_per_sec"] = rnd(shiptex_f32_ms)
             else:
-                shiptex_f32_ms = shiptex_winner_ms
+                result["shipTex23k_msamples_per_sec"] = (
+                    result["shipTex23k_winner_msamples_per_sec"])
         else:
             print(f"shipTex bench skipped: {stx_path} not found", file=sys.stderr)
     except Exception as e:
         print(f"shipTex bench failed: {e}", file=sys.stderr)
+    emit()
 
     # ---- 2. fused denoise ms/frame ------------------------------------------
     denoise_ms = None
@@ -272,13 +337,13 @@ def main() -> None:
         np.asarray(out[:2, :2])  # sync without the full-image transfer
         denoise_ms = 1000 * (time.perf_counter() - t0) / runs
         denoised_16 = np.asarray(out)
+        result["denoise_ms_per_frame"] = rnd(denoise_ms)
     except Exception as e:  # keep the headline metric alive no matter what
         print(f"denoise bench failed: {e}", file=sys.stderr)
 
     # 9-channel variant (rt_ldr_alb_nrm, normal-guided): the stronger slot
     # since round 3 — reported under its OWN keys so the 6-channel trend
     # line above stays comparable across rounds.
-    denoise9_ms = None
     denoised9_16 = None
     try:
         if denoise_ms is not None:
@@ -297,7 +362,8 @@ def main() -> None:
             for _ in range(runs):
                 out9 = denoise9_once()
             np.asarray(out9[:2, :2])
-            denoise9_ms = 1000 * (time.perf_counter() - t0) / runs
+            result["denoise9_ms_per_frame"] = rnd(
+                1000 * (time.perf_counter() - t0) / runs)
             denoised9_16 = np.asarray(out9)
     except Exception as e:
         print(f"denoise9 bench failed: {e}", file=sys.stderr)
@@ -305,7 +371,6 @@ def main() -> None:
     # HDR variant (rt_hdr_alb — the slot BASELINE config #5 names):
     # autoexposure + PU transfer, unclamped radiance out. Scored below in
     # the display domain like the LDR keys so the bars are comparable.
-    denoise_hdr_ms = None
     denoised_hdr_16 = None
     try:
         if denoise_ms is not None:
@@ -324,17 +389,52 @@ def main() -> None:
             for _ in range(runs):
                 outh = denoise_hdr_once()
             np.asarray(outh[:2, :2])
-            denoise_hdr_ms = 1000 * (time.perf_counter() - t0) / runs
+            result["denoise_hdr_ms_per_frame"] = rnd(
+                1000 * (time.perf_counter() - t0) / runs)
             denoised_hdr_16 = np.asarray(outh)
     except Exception as e:
         print(f"denoise hdr bench failed: {e}", file=sys.stderr)
+    emit()
+
+    # ---- 2b. standalone-filter wall time: the oidnBenchmark headline cell ---
+    # RT hdr + alb + nrm at 1920x1080 (apps/oidnBenchmark.cpp:182-209),
+    # unmonitored Filter.execute -> the device-resident scanned-tile path
+    # (denoise/filter.py). Includes the host->device input upload and
+    # device->host readback each run, like the reference's CPU number
+    # includes its memory traffic.
+    try:
+        from mygpuraytracer_tpu.denoise import Device
+
+        dev = Device()
+        dev.commit()
+        f = dev.new_filter("RT")
+        rng_np = np.random.default_rng(0)
+        h1080, w1080 = 1080, 1920
+        f.set_image("color", rng_np.random((h1080, w1080, 3), np.float32) * 4)
+        f.set_image("albedo", rng_np.random((h1080, w1080, 3), np.float32))
+        nrm = rng_np.random((h1080, w1080, 3), np.float32) * 2 - 1
+        f.set_image("normal", nrm)
+        out1080 = np.zeros((h1080, w1080, 3), np.float32)
+        f.set_image("output", out1080)
+        f.set("hdr", True)
+        f.set("inputScale", 1.0)
+        f.commit()
+        f.execute()  # warmup/compile
+        t0 = time.perf_counter()
+        runs = 4
+        for _ in range(runs):
+            f.execute()
+        result["denoise_standalone_1080p_ms"] = rnd(
+            1000 * (time.perf_counter() - t0) / runs)
+    except Exception as e:
+        print(f"standalone filter bench failed: {e}", file=sys.stderr)
+    emit()
 
     # ---- 3. RMSE of denoised 16 spp vs 16384 spp ground truth ---------------
     # Ground truth is the framework's OWN converged render (no CUDA machine
     # exists here) — the key names say so. Both the display-domain ([0,1]
     # clamped, the LDR filter's native domain) and the raw unclamped RMSE are
     # reported so trends across rounds stay comparable.
-    rmse = rmse_raw = rmse9 = rmse_hdr = None
     try:
         if denoised_16 is not None:
             gt = Renderer(get_scene("cornell.txt"),
@@ -355,36 +455,47 @@ def main() -> None:
             # LDR reference compare.
             gt_disp = np.clip(gt_img, 0.0, 1.0).astype(np.float64)
             diff = np.clip(denoised_16, 0.0, 1.0).astype(np.float64) - gt_disp
-            rmse = float(np.sqrt(np.mean(diff * diff)))
-            diff_raw = denoised_16.astype(np.float64) - gt_img.astype(np.float64)
-            rmse_raw = float(np.sqrt(np.mean(diff_raw * diff_raw)))
+            result["rmse_ldr_denoised_16spp_vs_own_16kspp"] = rnd(
+                float(np.sqrt(np.mean(diff * diff))), 5)
+            diff_raw = (denoised_16.astype(np.float64)
+                        - gt_img.astype(np.float64))
+            result["rmse_raw_denoised_16spp_vs_own_16kspp"] = rnd(
+                float(np.sqrt(np.mean(diff_raw * diff_raw))), 5)
             if denoised9_16 is not None:
                 d9 = np.clip(denoised9_16, 0.0, 1.0).astype(np.float64) - gt_disp
-                rmse9 = float(np.sqrt(np.mean(d9 * d9)))
+                result["rmse_ldr_denoised9_16spp_vs_own_16kspp"] = rnd(
+                    float(np.sqrt(np.mean(d9 * d9))), 5)
             if denoised_hdr_16 is not None:
                 dh = (np.clip(denoised_hdr_16, 0.0, 1.0).astype(np.float64)
                       - gt_disp)
-                rmse_hdr = float(np.sqrt(np.mean(dh * dh)))
+                result["rmse_ldr_denoised_hdr_16spp_vs_own_16kspp"] = rnd(
+                    float(np.sqrt(np.mean(dh * dh))), 5)
     except Exception as e:
         print(f"rmse bench failed: {e}", file=sys.stderr)
+    emit()
 
     # ---- 4. BASELINE config #3 (DoF + cache + sort), LAST + isolated --------
-    # The parent does no further device work after this point, so even a
-    # worker crash here cannot poison the metrics gathered above. The
-    # default sort_impl ("fused" variadic lax.sort) runs first; if it
-    # yields nothing (crash/timeout), fall back to the round-3-measured
-    # argsort path so the key stays populated.
+    # Every other metric is already emitted, so even a worker crash or a
+    # driver kill here cannot poison them. The default sort_impl ("fused"
+    # variadic lax.sort) runs first; the argsort fallback only runs if the
+    # fused sub failed AND enough wall budget remains (round 4's
+    # fallback chain pushed the total past the driver's clock).
     dof_ms = None
-    dof_impl = None
     if on_tpu:
-        sub = _run_isolated("dof", timeout=1500)
+        budget = WALL_BUDGET_S - _elapsed()
+        sub = _run_isolated("dof", timeout=max(300, min(1200, budget)))
         dof_ms = sub.get("cornell_dof_cache_sort_msamples_per_sec")
-        dof_impl = "fused" if dof_ms is not None else None
-        if dof_ms is None:
+        if dof_ms is not None:
+            result["cornell_dof_cache_sort_impl"] = "fused"
+        elif WALL_BUDGET_S - _elapsed() > 900:
             _wait_tunnel()
-            sub = _run_isolated("dof_argsort", timeout=1500)
+            sub = _run_isolated("dof_argsort", timeout=900)
             dof_ms = sub.get("cornell_dof_cache_sort_msamples_per_sec")
-            dof_impl = sub.get("cornell_dof_cache_sort_impl")
+            result["cornell_dof_cache_sort_impl"] = sub.get(
+                "cornell_dof_cache_sort_impl")
+        else:
+            print("skipping argsort fallback: wall budget exhausted",
+                  file=sys.stderr)
     else:
         try:
             _, dof_ms = _bench_scene(
@@ -393,37 +504,11 @@ def main() -> None:
                 sort_by_material=True, antialiasing=False,
                 min_time=4.0, max_iters=32, batch=4,
             )
-            dof_impl = "fused"
+            result["cornell_dof_cache_sort_impl"] = "fused"
         except Exception as e:
             print(f"dof bench failed: {e}", file=sys.stderr)
-
-    rnd = lambda v, k=2: None if v is None else round(v, k)
-    result = {
-        "metric": "cornellObj_800x800_depth8_path_trace",
-        "value": round(ms_obj, 2),
-        "unit": "Msamples/s",
-        "vs_baseline": round(ms_obj / 50.0, 3),
-        "cornell_msamples_per_sec": round(ms_cornell, 2),
-        "cornellGlass_msamples_per_sec": rnd(glass_ms),
-        "cornell_dof_cache_sort_msamples_per_sec": rnd(dof_ms),
-        "cornell_dof_cache_sort_impl": dof_impl,
-        "ship23k_msamples_per_sec": rnd(ship_ms),
-        "shipTex23k_msamples_per_sec": rnd(shiptex_f32_ms),
-        "shipTex23k_winner_msamples_per_sec": rnd(shiptex_winner_ms),
-        "shipTex23k_winner_table": "oct" if on_tpu else "f32",
-        "denoise_ms_per_frame": rnd(denoise_ms),
-        "denoise9_ms_per_frame": rnd(denoise9_ms),
-        "denoise_hdr_ms_per_frame": rnd(denoise_hdr_ms),
-        "rmse_ldr_denoised_16spp_vs_own_16kspp": rnd(rmse, 5),
-        "rmse_raw_denoised_16spp_vs_own_16kspp": rnd(rmse_raw, 5),
-        "rmse_ldr_denoised9_16spp_vs_own_16kspp": rnd(rmse9, 5),
-        "rmse_ldr_denoised_hdr_16spp_vs_own_16kspp": rnd(rmse_hdr, 5),
-        "sanity": {
-            "finite": bool(np.isfinite(img_obj).all()),
-            "nonzero": bool(img_obj.mean() > 0.01),
-        },
-    }
-    print(json.dumps(result))
+    result["cornell_dof_cache_sort_msamples_per_sec"] = rnd(dof_ms)
+    emit()
 
 
 if __name__ == "__main__":
