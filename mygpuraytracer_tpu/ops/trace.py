@@ -520,8 +520,13 @@ def intersect_soa(
     of its geom's faces.
 
     ``active`` (bool[N], optional) marks lanes whose result the caller will
-    use. Inactive lanes report a guaranteed mesh MISS and generate no mesh
-    visits. Rationale (scripts/probe_liveness.py): terminated wavefront
+    use. Inactive lanes report a guaranteed mesh MISS on every path; the
+    zero-VISIT guarantee (the perf point) holds for the Pallas cluster/rows
+    tiers only — the chunked Moller-Trumbore fallback and the
+    ``bounding_box`` pre-test take no t cap, so there the padding ray still
+    streams all faces and only its result is discarded (correctness rests
+    on the post-query forced miss). Rationale (scripts/probe_liveness.py):
+    terminated wavefront
     lanes keep their stale ray (shade_soa passes dead lanes through), and a
     stale ray still slab-hits clusters, so on open mesh scenes — shipOnly
     has only ~3% of lanes alive after bounce 0 — the ~97% dead lanes

@@ -334,6 +334,43 @@ def test_bvh_scenes_route_to_wavefront_by_default():
     )
 
 
+def test_intersect_active_mask_contract_fast(reference_scenes):
+    """Fast-tier guard for the active= dead-lane contract (ADVICE r4): the
+    full 23k-face, 3-tier variant below lives in the slow tier, so this
+    covers the chunked-fallback path on the 12-face cube scene with a few
+    lanes — enough to catch a regression in the masking semantics inside
+    the ~7-min default suite."""
+    from mygpuraytracer_tpu.ops.trace import intersect_soa
+    from mygpuraytracer_tpu.ops.vec3 import Vec3
+    from mygpuraytracer_tpu.scene import load_scene
+    from mygpuraytracer_tpu.scene.device_scene import build_device_scene
+
+    scene = load_scene(str(reference_scenes / "cornellObj.txt"))
+    scene.set_resolution(8, 8)
+    dev, meta = build_device_scene(scene, 128)
+
+    rng = np.random.default_rng(11)
+    n = 64
+    o_np = rng.uniform(-4, 9, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+    active = jnp.asarray(rng.random(n) < 0.5)
+
+    full = intersect_soa(meta, dev, o, d, 128, mesh_pallas=False)
+    masked = intersect_soa(meta, dev, o, d, 128, active=active,
+                           mesh_pallas=False)
+    act = np.asarray(active)
+    for name in ("t", "hit", "is_obj", "material_id", "u", "v"):
+        f, m = np.asarray(getattr(full, name)), np.asarray(getattr(masked, name))
+        np.testing.assert_array_equal(f[act], m[act], err_msg=name)
+    assert not np.asarray(masked.is_obj)[~act].any()
+    t_m = np.asarray(masked.t)[~act]
+    t_f = np.asarray(full.t)[~act]
+    assert (t_m >= t_f - 1e-5).all()
+
+
 def test_intersect_active_mask_contract():
     """intersect_soa(active=...): inactive lanes report a guaranteed mesh
     MISS (and generate no mesh visits — the perf point, measured on TPU in
