@@ -396,40 +396,6 @@ def main() -> None:
         print(f"denoise hdr bench failed: {e}", file=sys.stderr)
     emit()
 
-    # ---- 2b. standalone-filter wall time: the oidnBenchmark headline cell ---
-    # RT hdr + alb + nrm at 1920x1080 (apps/oidnBenchmark.cpp:182-209),
-    # unmonitored Filter.execute -> the device-resident scanned-tile path
-    # (denoise/filter.py). Includes the host->device input upload and
-    # device->host readback each run, like the reference's CPU number
-    # includes its memory traffic.
-    try:
-        from mygpuraytracer_tpu.denoise import Device
-
-        dev = Device()
-        dev.commit()
-        f = dev.new_filter("RT")
-        rng_np = np.random.default_rng(0)
-        h1080, w1080 = 1080, 1920
-        f.set_image("color", rng_np.random((h1080, w1080, 3), np.float32) * 4)
-        f.set_image("albedo", rng_np.random((h1080, w1080, 3), np.float32))
-        nrm = rng_np.random((h1080, w1080, 3), np.float32) * 2 - 1
-        f.set_image("normal", nrm)
-        out1080 = np.zeros((h1080, w1080, 3), np.float32)
-        f.set_image("output", out1080)
-        f.set("hdr", True)
-        f.set("inputScale", 1.0)
-        f.commit()
-        f.execute()  # warmup/compile
-        t0 = time.perf_counter()
-        runs = 4
-        for _ in range(runs):
-            f.execute()
-        result["denoise_standalone_1080p_ms"] = rnd(
-            1000 * (time.perf_counter() - t0) / runs)
-    except Exception as e:
-        print(f"standalone filter bench failed: {e}", file=sys.stderr)
-    emit()
-
     # ---- 3. RMSE of denoised 16 spp vs 16384 spp ground truth ---------------
     # Ground truth is the framework's OWN converged render (no CUDA machine
     # exists here) — the key names say so. Both the display-domain ([0,1]
@@ -472,6 +438,41 @@ def main() -> None:
                     float(np.sqrt(np.mean(dh * dh))), 5)
     except Exception as e:
         print(f"rmse bench failed: {e}", file=sys.stderr)
+    emit()
+
+    # ---- 3b. standalone-filter wall time: the oidnBenchmark headline cell ---
+    # RT hdr + alb + nrm at 1920x1080 (apps/oidnBenchmark.cpp:182-209),
+    # unmonitored Filter.execute -> the device-resident scanned-tile path
+    # (denoise/filter.py). Includes the host->device input upload and
+    # device->host readback each run, like the reference's CPU number
+    # includes its memory traffic. Runs AFTER the RMSE phase: its ~minutes
+    # 1080p compile must not stand between the driver and the quality keys.
+    try:
+        from mygpuraytracer_tpu.denoise import Device
+
+        dev = Device()
+        dev.commit()
+        f = dev.new_filter("RT")
+        rng_np = np.random.default_rng(0)
+        h1080, w1080 = 1080, 1920
+        f.set_image("color", rng_np.random((h1080, w1080, 3), np.float32) * 4)
+        f.set_image("albedo", rng_np.random((h1080, w1080, 3), np.float32))
+        nrm = rng_np.random((h1080, w1080, 3), np.float32) * 2 - 1
+        f.set_image("normal", nrm)
+        out1080 = np.zeros((h1080, w1080, 3), np.float32)
+        f.set_image("output", out1080)
+        f.set("hdr", True)
+        f.set("inputScale", 1.0)
+        f.commit()
+        f.execute()  # warmup/compile
+        t0 = time.perf_counter()
+        runs = 4
+        for _ in range(runs):
+            f.execute()
+        result["denoise_standalone_1080p_ms"] = rnd(
+            1000 * (time.perf_counter() - t0) / runs)
+    except Exception as e:
+        print(f"standalone filter bench failed: {e}", file=sys.stderr)
     emit()
 
     # ---- 4. BASELINE config #3 (DoF + cache + sort), LAST + isolated --------
