@@ -203,9 +203,9 @@ def main(argv=None) -> int:
 
     def preprocess_dataset(data_name: str) -> None:
         input_dir = os.path.join(args.data_dir, data_name)
-        print(f"\nDataset: {input_dir}")
+        print(f"\n== preprocessing {input_dir}")
         if not os.path.isdir(input_dir):
-            print("Not found")
+            print("   (missing — skipped)")
             return
         output_dir = os.path.join(args.preproc_dir, data_name)
         os.makedirs(output_dir, exist_ok=True)
@@ -230,7 +230,7 @@ def main(argv=None) -> int:
                     os.path.join(input_dir, input_name), input_features, args.ext)
                 if input_image.shape[:2] != target_image.shape[:2]:
                     raise SystemExit(
-                        "error: the input and target images have different sizes")
+                        "error: input/target resolution mismatch for this sample group")
                 input_pre = preprocess_image(input_image, exposure)
                 if args.clean_aux:
                     # noisy main + clean aux channels from the target
