@@ -483,6 +483,10 @@ def main() -> None:
     # fallback chain pushed the total past the driver's clock).
     dof_ms = None
     if on_tpu:
+        # Health-gate first: if an earlier config crashed the worker, the
+        # sub would otherwise burn its whole budget waiting on a dead
+        # tunnel (the likely round-4 failure mode).
+        _wait_tunnel()
         budget = WALL_BUDGET_S - _elapsed()
         sub = _run_isolated("dof", timeout=max(300, min(1200, budget)))
         dof_ms = sub.get("cornell_dof_cache_sort_msamples_per_sec")
