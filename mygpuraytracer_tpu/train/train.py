@@ -158,15 +158,31 @@ def make_preprocess(cfg: TrainConfig):
             y = color_mod.sanitize(y, -1.0, 1.0) * 0.5 + 0.5
             return col, y
         hi = jnp.inf if cfg.hdr else 1.0
-        col = tf.forward(color_mod.sanitize(x[..., :3], 0.0, hi))
-        parts = [col]
+        xc = color_mod.sanitize(x[..., :3], 0.0, hi)
+        y = color_mod.sanitize(y, 0.0, hi)
+        if cfg.hdr:
+            # Autoexposure normalization, like the reference's preprocess
+            # (training/preprocess.py:39-80: exposure = autoexposure(target),
+            # applied to BOTH input and target colors before the transfer).
+            # The runtime serves the net behind the same normalization
+            # (unet.cpp:134-144 / filter.py/_execute_impl autoexposure), so
+            # training on raw radiance — as rounds 2-5a did — puts serving
+            # out of distribution and biased HDR output brightness by ~60%.
+            # Deviation: the reference computes one exposure per full target
+            # image at preprocess time; here it is computed per training
+            # crop (the trainer composes crops on device from raw masters).
+            # Both center the color distribution at 18% middle gray.
+            exp_scale = jax.vmap(color_mod.autoexposure)(y)[:, None, None, None]
+            xc = xc * exp_scale
+            y = y * exp_scale
+        parts = [tf.forward(xc)]
         if cfg.in_channels >= 6:
             parts.append(color_mod.sanitize(x[..., 3:6], 0.0, 1.0))  # albedo
         if cfg.in_channels >= 9:
             # normals: [-1,1] -> [0,1] (input_reorder.ispc storeNormal)
             parts.append(color_mod.sanitize(x[..., 6:9], -1.0, 1.0) * 0.5 + 0.5)
         x = jnp.concatenate(parts, axis=-1)
-        y = tf.forward(color_mod.sanitize(y, 0.0, hi))
+        y = tf.forward(y)
         return x, y
 
     return preprocess

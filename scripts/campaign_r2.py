@@ -244,6 +244,16 @@ def stage_eval(slots):
         for path in masters:
             m = np.load(path)
             x, y = recipe(m, slot)
+            if f["hdr"]:
+                # Serve-path parity: the runtime autoexposes the input color
+                # (unet.cpp:134-144; filter.py _execute_impl), and since the
+                # round-5 exposure fix training normalizes the same way
+                # (train.py make_preprocess) — evaluate behind the same
+                # scale or the eval scores a pipeline nobody serves.
+                from mygpuraytracer_tpu.denoise.color import autoexposure
+                import jax.numpy as _jnp
+                infer.transfer.input_scale = float(
+                    autoexposure(_jnp.asarray(x[..., :3])))
             out = infer(x)
             gt = np.clip(y, 0, 1) if "ldr" in slot else y
             pred = np.clip(out, 0, 1) if "ldr" in slot else out
@@ -277,6 +287,11 @@ def stage_eval(slots):
         for ip in sorted(glob.glob(os.path.join(vdir, "*.input.npy"))):
             x = np.load(ip)
             y = np.load(ip.replace(".input.npy", ".target.npy"))
+            if f["hdr"]:
+                from mygpuraytracer_tpu.denoise.color import autoexposure
+                import jax.numpy as _jnp
+                infer.transfer.input_scale = float(
+                    autoexposure(_jnp.asarray(x[..., :3])))
             out = infer(x)
             if slot == "rt_alb":
                 # the albedo AOV stores emitters as emittance*color (ke*5,
