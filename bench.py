@@ -208,6 +208,7 @@ def main() -> None:
         "denoise9_ms_per_frame": None,
         "denoise_hdr_ms_per_frame": None,
         "denoise_standalone_1080p_ms": None,
+        "denoise_standalone_1080p_hostio_ms": None,
         "rmse_ldr_denoised_16spp_vs_own_16kspp": None,
         "rmse_raw_denoised_16spp_vs_own_16kspp": None,
         "rmse_ldr_denoised9_16spp_vs_own_16kspp": None,
@@ -442,34 +443,62 @@ def main() -> None:
 
     # ---- 3b. standalone-filter wall time: the oidnBenchmark headline cell ---
     # RT hdr + alb + nrm at 1920x1080 (apps/oidnBenchmark.cpp:182-209),
-    # unmonitored Filter.execute -> the device-resident scanned-tile path
-    # (denoise/filter.py). Includes the host->device input upload and
-    # device->host readback each run, like the reference's CPU number
-    # includes its memory traffic. Runs AFTER the RMSE phase: its ~minutes
-    # 1080p compile must not stand between the driver and the quality keys.
+    # unmonitored Filter.execute. The PRIMARY key matches the reference
+    # benchmark's semantics exactly: images live in buffers allocated where
+    # the device computes (ImageBuffer(device,...) -> oidnNewBuffer;
+    # here DeviceBuffer) and the timed loop is execute() only — no host
+    # traffic. The *_hostio_ms key keeps the numpy-in/numpy-out number,
+    # which through this environment's tunnel is dominated by the ~100 MB
+    # per-execute host<->device traffic (measured r5: ~7.6 s vs the 1 GB/s
+    # dispatch path elsewhere — tunnel array transfers run far slower).
+    # Runs AFTER the RMSE phase: its ~minutes 1080p compile must not stand
+    # between the driver and the quality keys.
     try:
-        from mygpuraytracer_tpu.denoise import Device
+        from mygpuraytracer_tpu.denoise import Device, DeviceBuffer
 
         dev = Device()
         dev.commit()
-        f = dev.new_filter("RT")
         rng_np = np.random.default_rng(0)
         h1080, w1080 = 1080, 1920
-        f.set_image("color", rng_np.random((h1080, w1080, 3), np.float32) * 4)
-        f.set_image("albedo", rng_np.random((h1080, w1080, 3), np.float32))
-        nrm = rng_np.random((h1080, w1080, 3), np.float32) * 2 - 1
-        f.set_image("normal", nrm)
-        out1080 = np.zeros((h1080, w1080, 3), np.float32)
-        f.set_image("output", out1080)
+        color1080 = rng_np.random((h1080, w1080, 3), np.float32) * 4
+        alb1080 = rng_np.random((h1080, w1080, 3), np.float32)
+        nrm1080 = (rng_np.random((h1080, w1080, 3), np.float32) * 2 - 1)
+
+        f = dev.new_filter("RT")
+        f.set_image("color", DeviceBuffer(color1080))
+        f.set_image("albedo", DeviceBuffer(alb1080))
+        f.set_image("normal", DeviceBuffer(nrm1080))
+        obuf = DeviceBuffer(np.zeros((h1080, w1080, 3), np.float32))
+        f.set_image("output", obuf)
         f.set("hdr", True)
         f.set("inputScale", 1.0)
         f.commit()
         f.execute()  # warmup/compile
+        np.asarray(obuf.array[:2, :2])
         t0 = time.perf_counter()
-        runs = 4
+        runs = 8
         for _ in range(runs):
             f.execute()
+        np.asarray(obuf.array[:2, :2])  # sync without a full readback
         result["denoise_standalone_1080p_ms"] = rnd(
+            1000 * (time.perf_counter() - t0) / runs)
+        emit()
+
+        fh = dev.new_filter("RT")
+        fh.set_image("color", color1080)
+        fh.set_image("albedo", alb1080)
+        fh.set_image("normal", nrm1080)
+        out1080 = np.zeros((h1080, w1080, 3), np.float32)
+        fh.set_image("output", out1080)
+        fh.set("hdr", True)
+        fh.set("inputScale", 1.0)
+        fh.commit()
+        fh.execute()  # warmup (program already compiled above)
+        t0 = time.perf_counter()
+        runs = 2
+        for _ in range(runs):
+            fh.execute()
+        result["denoise_standalone_1080p_hostio_ms"] = rnd(
             1000 * (time.perf_counter() - t0) / runs)
     except Exception as e:
         print(f"standalone filter bench failed: {e}", file=sys.stderr)

@@ -52,6 +52,48 @@ MAX_IMAGE_DIM = 65536  # core/image.h max
 DEFAULT_MAX_MEMORY_MB = 3000  # unet.h:38
 OVERLAP = round_up(UNET_RECEPTIVE_FIELD // 2, UNET_ALIGNMENT)  # = 96 (unet.h:23)
 
+
+class DeviceBuffer:
+    """Device-resident image buffer — the analog of oidnNewBuffer allocating
+    in *device* memory (oidn.h buffer API; apps/utils/image_io.h ImageBuffer
+    allocates through the device and oidnBenchmark.cpp:121-165 times
+    ``execute()`` against those buffers with no host traffic in the loop).
+
+    Attach with ``Filter.set_image``: inputs upload once at construction and
+    stay resident; an output DeviceBuffer receives the denoised result as a
+    device array (``.array``) with NO device->host readback — call
+    ``.numpy()`` when host bytes are actually needed. Through this
+    environment's TPU tunnel a 1080p 3-image execute moves ~100 MB of
+    host<->device traffic, which dwarfs the U-Net compute; device-resident
+    buffers are how a real pipeline (and the reference's own benchmark)
+    holds images."""
+
+    def __init__(self, array):
+        arr = jnp.asarray(array)
+        if arr.dtype not in (jnp.float32, jnp.float16):
+            arr = arr.astype(jnp.float32)
+        self.array = arr
+
+    @property
+    def shape(self):
+        return self.array.shape
+
+    @property
+    def dtype(self):
+        return self.array.dtype
+
+    @property
+    def ndim(self):
+        return self.array.ndim
+
+    def numpy(self) -> np.ndarray:
+        return np.asarray(self.array)
+
+
+def _img_array(img):
+    """Underlying array of an attached image (DeviceBuffer or ndarray)."""
+    return img.array if isinstance(img, DeviceBuffer) else img
+
 def _scratch_bytes(tile_h: int, tile_w: int, in_ch: int,
                    output_temp_bytes: int = 0) -> int:
     """Exact U-Net activation scratch size for one padded tile.
@@ -157,11 +199,13 @@ class Device:
         raise OidnError(OidnError.INVALID_ARGUMENT, f"unknown filter type '{kind}'")
 
 
-def _check_image(name: str, img: np.ndarray | None):
+def _check_image(name: str, img):
     if img is None:
         return
     if img.ndim != 3 or img.shape[2] != 3:
         raise OidnError(OidnError.INVALID_ARGUMENT, f"image '{name}' must be HxWx3")
+    if isinstance(img, DeviceBuffer):
+        return  # DeviceBuffer construction already normalized the dtype
     if img.dtype not in (np.float32, np.float16):
         raise OidnError(
             OidnError.INVALID_ARGUMENT,
@@ -246,6 +290,11 @@ class Filter:
         buffer, so a strided 'output' writes back in place."""
         if name not in self._image_slots:
             self.device._warn(f"unknown filter image '{name}'")
+            return
+        if isinstance(image, DeviceBuffer):
+            _check_image(name, image)
+            self.images[name] = image
+            self.dirty = True
             return
         if image is not None:
             image = np.asarray(image)
@@ -369,8 +418,16 @@ class Filter:
         output = self.images.get("output")
         if output is None:
             return False
+
+        def aliases(a, b) -> bool:
+            if isinstance(a, DeviceBuffer) or isinstance(b, DeviceBuffer):
+                # Device arrays are immutable; aliasing only matters (and is
+                # only detectable) as identity of the attached buffer/array.
+                return a is b or _img_array(a) is _img_array(b)
+            return np.shares_memory(a, b)
+
         return any(
-            img is not None and np.shares_memory(output, img)
+            img is not None and aliases(output, img)
             for name, img in self.images.items()
             if name != "output"
         )
@@ -474,9 +531,9 @@ class Filter:
         scale = self.params["inputScale"]
         if isinstance(scale, float) and math.isnan(scale):
             if self.params["hdr"] and self.images["color"] is not None:
-                scale = float(color_mod.autoexposure(jnp.asarray(
-                    np.ascontiguousarray(self.images["color"], dtype=np.float32)
-                )))
+                scale = float(color_mod.autoexposure(
+                    jnp.asarray(_img_array(self.images["color"]), jnp.float32)
+                ))
             else:
                 scale = 1.0
         transfer = color_mod.make_transfer(self._transfer_kind(), float(scale))
@@ -493,33 +550,59 @@ class Filter:
 
         tiles = self._tile_grid(h, w)
         n_tiles = len(tiles)
+        # Monitored path with DeviceBuffers: per-tile progress requires host
+        # round-trips anyway, so materialize resident inputs once and write
+        # a host canvas; the output DeviceBuffer gets the stitched result
+        # put back at the end. (Unmonitored executes never take this path.)
+        host_images = None
+        if any(isinstance(i, DeviceBuffer) for i in self.images.values()
+               if i is not None):
+            host_images = {
+                # np.asarray of a device array is read-only; the output
+                # canvas must be writable.
+                n: (np.array(i.numpy(), copy=True) if n == "output"
+                    else i.numpy()) if isinstance(i, DeviceBuffer) else i
+                for n, i in self.images.items()
+            }
         # In-place + tiled: later tiles must read input pixels the earlier
         # tiles would have overwritten, so route writes through a temp and
         # copy once at the end — the outputTemp/outputCopy path of
         # core/unet.cpp:455-460,187-189. Single-tile in-place writes direct
         # (the tile pipeline reads its whole input window before writing).
-        dest = output
+        dest = host_images["output"] if host_images is not None else output
         if self._output_aliases_input() and n_tiles > 1:
-            dest = np.zeros((h, w) + output.shape[2:], output.dtype)
+            dest = np.zeros((h, w) + output.shape[2:],
+                            np.float32 if host_images is not None
+                            else output.dtype)
         done = 0
         for oh, ow, out_h, out_w in tiles:
-            self._run_tile(oh, ow, out_h, out_w, h, w, transfer, dest)
+            self._run_tile(oh, ow, out_h, out_w, h, w, transfer, dest,
+                           images=host_images)
             done += 1
             self._progress(done / n_tiles)
-        if dest is not output:
+        if host_images is not None:
+            if isinstance(output, DeviceBuffer):
+                output.array = jnp.asarray(dest, output.array.dtype)
+            elif dest is not host_images["output"]:
+                output[...] = dest
+        elif dest is not output:
             output[...] = dest  # outputCopy (unet.cpp:187-189)
         self._progress(1.0)
 
     def _stacked_inputs(self, h: int, w: int):
-        """(names, [h,w,C] f32 channel stack) of the present input images."""
-        planes, names = [], []
-        for name in ("color", "albedo", "normal"):
-            img = self.images.get(name)
-            if img is None:
-                continue
-            names.append(name)
-            planes.append(np.ascontiguousarray(img, dtype=np.float32))
-        return tuple(names), np.concatenate(planes, axis=-1)
+        """(names, [h,w,C] f32 channel stack) of the present input images.
+
+        All-host inputs stack on the host (one upload downstream). If ANY
+        input is a DeviceBuffer the stack is composed on DEVICE so resident
+        planes never round-trip through the host."""
+        imgs = [(n, self.images.get(n)) for n in ("color", "albedo", "normal")]
+        imgs = [(n, i) for n, i in imgs if i is not None]
+        names = tuple(n for n, _ in imgs)
+        if any(isinstance(i, DeviceBuffer) for _, i in imgs):
+            planes = [jnp.asarray(_img_array(i), jnp.float32) for _, i in imgs]
+            return names, jnp.concatenate(planes, axis=-1)
+        planes = [np.ascontiguousarray(i, dtype=np.float32) for _, i in imgs]
+        return names, np.concatenate(planes, axis=-1)
 
     def _execute_device(self, h: int, w: int, transfer) -> None:
         """One-dispatch tiled execute: inputs resident, tiles sliced and
@@ -540,13 +623,11 @@ class Filter:
         if tile_h >= round_up(h, UNET_ALIGNMENT) and tile_w >= round_up(w, UNET_ALIGNMENT):
             # Single tile: the whole image is the window (the jitted tile
             # pipeline pads to alignment internally).
-            out_np = np.asarray(
-                self._tile_pipeline(names, hdr, snorm, has_color)(
-                    self._cast_params(), jnp.asarray(stacked),
-                    jnp.float32(transfer.input_scale),
-                )
+            out_dev = self._tile_pipeline(names, hdr, snorm, has_color)(
+                self._cast_params(), jnp.asarray(stacked),
+                jnp.float32(transfer.input_scale),
             )
-            output[...] = out_np[:h, :w]
+            self._write_output(output, out_dev, h, w)
             self._progress(1.0)
             return
 
@@ -586,8 +667,13 @@ class Filter:
         in_h, in_w = max(h, tile_h), max(w, tile_w)
         out_pad = (max(oh + band_h for oh in ohs),
                    max(ow + band_w for ow in ows))
-        padded = np.zeros((in_h, in_w, stacked.shape[-1]), np.float32)
-        padded[:h, :w] = stacked
+        if isinstance(stacked, jnp.ndarray):
+            # device-resident stack: pad on device (no host round-trip)
+            padded = jnp.zeros((in_h, in_w, stacked.shape[-1]),
+                               jnp.float32).at[:h, :w].set(stacked)
+        else:
+            padded = np.zeros((in_h, in_w, stacked.shape[-1]), np.float32)
+            padded[:h, :w] = stacked
         # Exact owned extents per tile (th, tw): band writes are masked to
         # them, so every output pixel has exactly ONE writer — order-free,
         # which is what lets the mesh path psum per-device canvases.
@@ -608,12 +694,22 @@ class Filter:
         run = self._grid_pipeline(
             names, hdr, snorm, has_color, (in_h, in_w),
             (band_h, band_w), (pad_y_h, pad_y_w), out_pad, mesh)
-        out_np = np.asarray(run(
+        out_dev = run(
             self._cast_params(), jnp.asarray(padded), jnp.asarray(idx),
             jnp.float32(transfer.input_scale),
-        ))
-        output[...] = out_np[:h, :w]
+        )
+        self._write_output(output, out_dev, h, w)
         self._progress(1.0)
+
+    @staticmethod
+    def _write_output(output, out_dev, h: int, w: int) -> None:
+        """Deliver a device result: a DeviceBuffer output swaps in the
+        device array (no readback — oidnBenchmark semantics, buffers live on
+        the device); an ndarray output reads back and writes in place."""
+        if isinstance(output, DeviceBuffer):
+            output.array = out_dev[:h, :w].astype(output.array.dtype)
+        else:
+            output[...] = np.asarray(out_dev)[:h, :w]
 
     def _grid_pipeline(self, names, hdr, snorm, has_color, in_shape, band,
                        y_pad, out_pad, mesh=None):
@@ -696,9 +792,14 @@ class Filter:
         self._jitted[key] = run
         return run
 
-    def _run_tile(self, oh, ow, out_h, out_w, h, w, transfer, output) -> None:
+    def _run_tile(self, oh, ow, out_h, out_w, h, w, transfer, output,
+                  images=None) -> None:
         """Denoise one tile; write its [oh:oh+out_h, ow:ow+out_w] output
-        region (the reference's outputReorder->setTile, unet.cpp:168-176)."""
+        region (the reference's outputReorder->setTile, unet.cpp:168-176).
+        ``images`` overrides self.images (host materializations of
+        DeviceBuffer inputs on the monitored path)."""
+        if images is None:
+            images = self.images
         tile_h, tile_w = self.tile_shape
         # Input window (with overlap), clamped to the image.
         ih0 = max(oh - OVERLAP, 0)
@@ -712,9 +813,9 @@ class Filter:
         planes = []
         snorm = self._snorm()
         hdr = bool(self.params["hdr"])
-        has_color = self.images["color"] is not None
+        has_color = images["color"] is not None
         for name in ("color", "albedo", "normal"):
-            img = self.images.get(name)
+            img = images.get(name)
             if img is None:
                 continue
             window = np.zeros((tile_h, tile_w, 3), np.float32)

@@ -662,3 +662,80 @@ def test_device_fast_path_matches_monitored_tiled():
     # per-tile programs (f32 on CPU): tolerance far under the reference's
     # own 1e-4 max-rel-error compare bar (oidnDenoise.cpp:362).
     np.testing.assert_allclose(fast, mon, rtol=0, atol=1e-6)
+
+
+def test_device_buffer_matches_host_single_tile():
+    """DeviceBuffer in/out (the oidnNewBuffer-on-device analog,
+    oidnBenchmark.cpp:121-165) must produce the same pixels as numpy
+    host images — single-tile path, no readback on the output buffer."""
+    from mygpuraytracer_tpu.denoise import DeviceBuffer
+
+    rng = np.random.default_rng(21)
+    h, w = 120, 168
+    color = rng.random((h, w, 3), np.float32).astype(np.float32) * 2
+    albedo = rng.random((h, w, 3), np.float32).astype(np.float32)
+
+    dev = make_device()
+    f = dev.new_filter("RT")
+    f.set_image("color", color.copy())
+    f.set_image("albedo", albedo.copy())
+    out_host = np.zeros((h, w, 3), np.float32)
+    f.set_image("output", out_host)
+    f.set("hdr", True)
+    f.commit()
+    f.execute()
+
+    f2 = dev.new_filter("RT")
+    cbuf = DeviceBuffer(color)
+    f2.set_image("color", cbuf)
+    f2.set_image("albedo", DeviceBuffer(albedo))
+    obuf = DeviceBuffer(np.zeros((h, w, 3), np.float32))
+    f2.set_image("output", obuf)
+    f2.set("hdr", True)
+    f2.commit()
+    f2.execute()
+
+    np.testing.assert_allclose(obuf.numpy(), out_host, rtol=0, atol=1e-6)
+    # the input buffer stayed resident and unchanged
+    np.testing.assert_array_equal(cbuf.numpy(), color)
+
+
+def test_device_buffer_matches_host_multi_tile_and_monitored():
+    """DeviceBuffer through the multi-tile scanned path AND the monitored
+    per-tile path (which materializes host copies once) — identical pixels
+    to the all-numpy filter; in-place device buffers (output is the color
+    buffer) work because device arrays are immutable."""
+    from mygpuraytracer_tpu.denoise import DeviceBuffer
+
+    rng = np.random.default_rng(22)
+    h, w = 520, 344
+    color = rng.random((h, w, 3), np.float32).astype(np.float32)
+    albedo = rng.random((h, w, 3), np.float32).astype(np.float32)
+
+    def run(device_buffers: bool, monitored: bool, inplace: bool = False):
+        dev = make_device()
+        f = dev.new_filter("RT")
+        if device_buffers:
+            cbuf = DeviceBuffer(color)
+            f.set_image("color", cbuf)
+            f.set_image("albedo", DeviceBuffer(albedo))
+            obuf = cbuf if inplace else DeviceBuffer(
+                np.zeros((h, w, 3), np.float32))
+            f.set_image("output", obuf)
+        else:
+            f.set_image("color", color.copy())
+            f.set_image("albedo", albedo.copy())
+            obuf = np.zeros((h, w, 3), np.float32)
+            f.set_image("output", obuf)
+        f.set("maxMemoryMB", 0)  # force multiple tiles at this size
+        if monitored:
+            f.set_progress_monitor_function(lambda p: True)
+        f.commit()
+        f.execute()
+        return obuf.numpy() if device_buffers else obuf
+
+    ref = run(False, False)
+    np.testing.assert_allclose(run(True, False), ref, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(run(True, True), ref, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(run(True, False, inplace=True), ref,
+                               rtol=0, atol=1e-6)
